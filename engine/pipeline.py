@@ -1,0 +1,127 @@
+"""End-to-end feature extraction — the engine's "one query".
+
+`extract_features(spark, transcripts, context)` is the analog of the
+reference's one-request lifecycle (analyze.py:96-119: validate →
+preprocess → N independent extractor families → unified vector +
+error sidecar + metadata), re-planned for Spark:
+
+  read → quarantine split → per-turn text kernel (Arrow scalar UDF) →
+  ONE hash repartition on conv_id → every window family over the same
+  (ts, turn_idx) total order → as-of join vs context → expanding
+  top-k kernel → wide feature row per (conv_id, ts, turn_idx).
+
+All feature families are computed over one shuffled-once layout,
+mirroring the reference's "all three extractors consume the same
+preprocessed array" discipline (SURVEY.md §7.2).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from engine.functions.text import (
+    clean_text_series,
+    txt_len_series,
+    txt_words_series,
+)
+from engine.operators.asof import asof_join
+from engine.operators.quality import split_quarantine
+from engine.operators.topk import add_top_tools_expanding
+from engine.operators import windows as W
+from engine.schema import FEATURE_SCHEMA, ROLL_WINDOW_S, SESSION_GAP_S
+
+_TEXT_STRUCT = T.StructType(
+    [
+        T.StructField("clean_text", T.StringType()),
+        T.StructField("txt_len", T.IntegerType()),
+        T.StructField("txt_words", T.IntegerType()),
+    ]
+)
+
+
+@pandas_udf(_TEXT_STRUCT)
+def _text_features(text: pd.Series) -> pd.DataFrame:
+    """Arrow-vectorized per-turn text kernel (X1-X7 + X6 lengths).
+
+    Lengths are computed IN PYTHON on the cleaned text (code points),
+    not with JVM `length` (UTF-16 units) — keeps parity with the
+    oracle for any unicode input.
+    """
+    clean = clean_text_series(text)
+    return pd.DataFrame(
+        {
+            "clean_text": clean,
+            "txt_len": txt_len_series(clean),
+            "txt_words": txt_words_series(clean),
+        }
+    )
+
+
+def add_text_features(df: DataFrame) -> DataFrame:
+    df = df.withColumn("_txt", _text_features(F.col("text")))
+    df = df.select("*", "_txt.clean_text", "_txt.txt_len", "_txt.txt_words").drop(
+        "_txt"
+    )
+    # 3-way threshold binning (P11 analog; thresholds in functions/text.py)
+    return df.withColumn(
+        "len_class",
+        F.when(F.col("txt_len").isNull(), F.lit(None).cast("string"))
+        .when(F.col("txt_len") >= 250, "Light")
+        .when(F.col("txt_len") > 190, "Regular")
+        .otherwise("Bold"),
+    )
+
+
+def extract_features(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    context: DataFrame | None = None,
+    session_gap_s: float = SESSION_GAP_S,
+    roll_window_s: float = ROLL_WINDOW_S,
+    asof_strategy: str = "jvm",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Return (features, errors, run_meta).
+
+    `run_meta` carries static plan facts; row/byte/watermark metrics are
+    computed at write time by TableIO (engine/tableio.py) so the lazy
+    plan is only executed once.
+    """
+    t0 = time.time()
+    good, errors = split_quarantine(transcripts)
+    good = add_text_features(good)
+
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    good = good.repartition(n_part, "conv_id")
+
+    good = W.with_ts_sec(good)
+    good = W.add_lag_lead(good)
+    good = W.add_sessionization(good, gap_s=session_gap_s)
+    good = W.add_context_ffill(good)
+    good = W.add_rolling(good, window_s=roll_window_s)
+    good = good.drop(W.TS_SEC)
+
+    if context is not None:
+        good = asof_join(good, context, strict=False, strategy=asof_strategy)
+    else:
+        good = good.withColumn("asof_ctx_value", F.lit(None).cast("double"))
+        good = good.withColumn("asof_ctx_label", F.lit(None).cast("string"))
+
+    good = add_top_tools_expanding(good)
+
+    features = good.select(*[f.name for f in FEATURE_SCHEMA.fields])
+    meta = {
+        "engine_version": "0.1.0",
+        "session_gap_s": session_gap_s,
+        "roll_window_s": roll_window_s,
+        "asof_strategy": asof_strategy,
+        "num_partitions": n_part,
+        "planned_at_epoch_s": t0,
+    }
+    return features, errors, meta

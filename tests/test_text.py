@@ -1,0 +1,59 @@
+"""Per-turn text invariant: clean_text X1-X7 semantics, engine ==
+oracle == hand-computed goldens (SURVEY.md §2.8, §5.2)."""
+
+import pandas as pd
+
+from engine.functions.text import clean_text_py
+
+
+def test_x2_char_substitutions():
+    assert clean_text_py("r0ute 1 plan 5") == "rOute I plan S"
+    assert clean_text_py("a—b–c") == "a-b-c"
+    assert clean_text_py("‘x’ “y”") == "'x' \"y\""
+
+
+def test_x1_lines_and_x4_whitespace():
+    # NB: X3 (drop non-printable) runs BEFORE X4 (collapse whitespace),
+    # so a tab is *dropped* ('\t'.isprintable() is False), not spaced —
+    # faithful to the reference's step order (text_extractor.py:328-329).
+    assert clean_text_py("  a  \n\n  b\tc  \n") == "a\nbc"
+    assert clean_text_py("multi   space") == "multi space"
+
+
+def test_x3_nonprintable_dropped():
+    assert clean_text_py("bad\x00char") == "badchar"
+    assert clean_text_py("a\x07b") == "ab"
+
+
+def test_x5_punctuation_whitelist():
+    assert clean_text_py("str@nge#sym$bols% ok.,!?:;'\"-") == "strngesymbols ok.,!?:;'\"-"
+    # unicode ellipsis is printable but outside whitelist → dropped
+    assert clean_text_py("café…") == "café"
+
+
+def test_null_and_empty():
+    assert clean_text_py(None) is None
+    assert clean_text_py("") == ""
+    assert clean_text_py("   \n  ") == ""
+
+
+def test_engine_matches_oracle_per_turn(spark, transcripts_df, transcripts_pdf):
+    """Per-turn text equality under stable (conv_id, turn_idx) order."""
+    from engine.pipeline import add_text_features
+
+    got = (
+        add_text_features(transcripts_df)
+        .select("conv_id", "turn_idx", "clean_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = transcripts_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    from engine.functions.text import clean_text_series
+
+    exp_clean = clean_text_series(exp["text"])
+    for i in range(len(got)):
+        a, b = got["clean_text"].iat[i], exp_clean.iat[i]
+        assert (pd.isna(a) and pd.isna(b)) or a == b, (
+            f"row {i} ({got['conv_id'].iat[i]},{got['turn_idx'].iat[i]}): {a!r} != {b!r}"
+        )

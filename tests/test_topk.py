@@ -1,0 +1,47 @@
+"""Top-k dominant tools: expanding kernel semantics + whole-conv SQL
+variant (reference dominant-color contract, SURVEY.md §2.4/2.5)."""
+
+import pandas as pd
+
+from engine.operators.topk import top_tools_expanding_py, top_tools_final
+from engine.schema import TRANSCRIPT_SCHEMA
+
+
+def test_expanding_semantics():
+    s = pd.Series(["a", None, "b", "b", "", "a", "c", "a"])
+    out = top_tools_expanding_py(s, k=3)
+    assert out[0] == ["a", "a", "a"]           # pad repeats last
+    assert out[1] == ["a", "a", "a"]           # null ignored
+    assert out[2] == ["a", "b", "b"]           # tie 1-1 → count desc, name asc
+    assert out[3] == ["b", "a", "a"]           # b=2 > a=1
+    assert out[4] == ["b", "a", "a"]           # '' ignored
+    assert out[5] == ["a", "b", "b"]           # tie 2-2 → name asc
+    assert out[6] == ["a", "b", "c"]
+    assert out[7] == ["a", "b", "c"]           # a=3,b=2,c=1
+
+
+def test_empty_stays_empty():
+    assert top_tools_expanding_py(pd.Series([None, ""]), k=3) == [[], []]
+
+
+def test_final_topk_matches_pandas(spark, transcripts_df, transcripts_pdf):
+    got = top_tools_final(transcripts_df, k=3).toPandas()
+    t = transcripts_pdf
+    t = t[t["tool"].notna() & (t["tool"] != "")]
+    exp = (
+        t.groupby(["conv_id", "tool"]).size().rename("tool_count").reset_index()
+    )
+    exp["rank"] = (
+        exp.sort_values(["tool_count", "tool"], ascending=[False, True])
+        .groupby("conv_id")
+        .cumcount()
+        + 1
+    )
+    exp = exp[exp["rank"] <= 3]
+    keys = ["conv_id", "rank"]
+    got = got.sort_values(keys).reset_index(drop=True)
+    exp = exp.sort_values(keys).reset_index(drop=True)[got.columns]
+    pd.testing.assert_frame_equal(
+        got.astype({"tool_count": "int64", "rank": "int64"}),
+        exp.astype({"tool_count": "int64", "rank": "int64"}),
+    )
