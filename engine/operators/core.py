@@ -1,0 +1,151 @@
+"""Generic, entity-parametrized point-in-time operators.
+
+The transcript pipeline binds these to (conv_id, ts, turn_idx); the
+driver-table queries bind them to (user_id, ts, event_id). One
+implementation, two surfaces — every operator shuffles once on the
+entity key and computes inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def order_cols(ts: str, idx: str) -> list[Column]:
+    return [F.col(ts).asc(), F.col(idx).asc()]
+
+
+def entity_window(entity: str, ts: str, idx: str) -> Window:
+    return Window.partitionBy(entity).orderBy(*order_cols(ts, idx))
+
+
+def cum_frame(entity: str, ts: str, idx: str):
+    return entity_window(entity, ts, idx).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+
+
+def ts_seconds(ts: str) -> Column:
+    """Timestamp → epoch seconds as double (µs-exact).
+
+    TIMESTAMP_NTZ (how Spark 4 reads naive parquet timestamps) cannot
+    cast directly to double; route through TIMESTAMP first — with the
+    engine's pinned UTC session timezone this interprets naive values
+    as UTC instants, matching DuckDB's epoch_us().
+    """
+    return F.col(ts).cast("timestamp").cast("double")
+
+
+def add_gap_prev(df: DataFrame, entity: str, ts: str, idx: str, out: str = "gap_prev_s") -> DataFrame:
+    w = entity_window(entity, ts, idx)
+    sec = ts_seconds(ts)
+    return df.withColumn(out, sec - F.lag(sec).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    idx: str,
+    gap_s: float,
+    session_col: str = "session_id",
+    seq_col: str | None = "sess_seq",
+) -> DataFrame:
+    """ts-gap sessionization: new session iff gap to previous row
+    strictly exceeds gap_s. 0-based session id per entity; optional
+    1-based row sequence within session."""
+    w = entity_window(entity, ts, idx)
+    cum = cum_frame(entity, ts, idx)
+    sec = ts_seconds(ts)
+    gap = sec - F.lag(sec).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    df = df.withColumn(session_col, (F.sum(new_sess).over(cum) - F.lit(1)).cast("int"))
+    if seq_col:
+        ws = Window.partitionBy(entity, session_col).orderBy(*order_cols(ts, idx))
+        df = df.withColumn(seq_col, F.row_number().over(ws))
+    return df
+
+
+def ffill(
+    df: DataFrame, entity: str, ts: str, idx: str, src: Column | str, out: str
+) -> DataFrame:
+    """Forward-fill: last non-null value of `src` at or before this row."""
+    cum = cum_frame(entity, ts, idx)
+    return df.withColumn(out, F.last(src, ignorenulls=True).over(cum))
+
+
+def lag_lead(
+    df: DataFrame, entity: str, ts: str, idx: str, src: str, n: int = 1
+) -> DataFrame:
+    w = entity_window(entity, ts, idx)
+    return df.withColumn(f"lag_{src}", F.lag(src, n).over(w)).withColumn(
+        f"lead_{src}", F.lead(src, n).over(w)
+    )
+
+
+def rolling_range(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    window_s: int,
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Event-time RANGE frame [ts - window_s, ts] (inclusive, with
+    ts-peers — the `ts' <= ts` leakage rule). `aggs` maps output column
+    name → aggregate expression; each is evaluated `.over` the frame."""
+    wr = (
+        Window.partitionBy(entity)
+        .orderBy(ts_seconds(ts))
+        .rangeBetween(-int(window_s), Window.currentRow)
+    )
+    for out, expr in aggs.items():
+        df = df.withColumn(out, expr.over(wr))
+    return df
+
+
+def dedup_first(df: DataFrame, keys: list[str], ts: str, idx: str) -> DataFrame:
+    """Order-preserving dedup (W5): keep the first row per key set by
+    (ts, idx)."""
+    w = Window.partitionBy(*keys).orderBy(*order_cols(ts, idx))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def argmax_by(
+    df: DataFrame, entity: str, value: str, tie: str
+) -> DataFrame:
+    """Per-entity arg-max row (A7): max `value`, ties broken by
+    smallest `tie`."""
+    w = Window.partitionBy(entity).orderBy(F.col(value).desc(), F.col(tie).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def topk_by_count(
+    df: DataFrame, entity: str, key: str, k: int, count_col: str = "cnt", rank_col: str = "rank"
+) -> DataFrame:
+    """Frequency top-k per entity (A2/A3 + W6): hash-agg count with
+    map-side partial combine, then windowed rank ≤ k; ties broken by
+    key ascending for determinism."""
+    counts = df.groupBy(entity, key).agg(F.count(F.lit(1)).alias(count_col))
+    w = Window.partitionBy(entity).orderBy(F.col(count_col).desc(), F.col(key).asc())
+    return counts.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def bin_threshold(col: Column, hi: float, mid: float, labels=("Light", "Regular", "Bold")) -> Column:
+    """3-way threshold binning (P11): >= hi → labels[0], > mid →
+    labels[1], else labels[2]; null passes through as null."""
+    return (
+        F.when(col.isNull(), F.lit(None).cast("string"))
+        .when(col >= hi, labels[0])
+        .when(col > mid, labels[1])
+        .otherwise(labels[2])
+    )

@@ -1,40 +1,44 @@
-"""Window-expressible feature families — pure Spark built-ins.
+"""Window-expressible feature families bound to the transcript shape.
+
+Thin bindings of the generic entity-parametrized operators in
+operators/core.py to (conv_id, ts, turn_idx) — plus the transcript-
+specific column derivations (txt_len-based lags, session running
+length, last-user-text ffill).
 
 Everything here stays inside whole-stage codegen (no Python): lag/lead,
 ts-gap sessionization (SURVEY.md §2.5 W4 — the reference's spatial
 adjacency grouping re-expressed as temporal adjacency), ffill/backfill
-context, and event-time rolling frames.
-
-All windows share the one total order that the engine guarantees
-everywhere: partition by conv_id, order by (ts, turn_idx) —
-(reference analog: sort lines by bbox y then assemble,
-text_extractor.py:177-193). A single hash repartition on conv_id is
-reused by every window below (hashpartitioning(conv_id) satisfies the
-clustered distribution of (conv_id, …) sub-windows), so the whole
-family costs exactly one shuffle.
+context, and event-time rolling frames. All windows share the one
+total order the engine guarantees everywhere: partition by conv_id,
+order by (ts, turn_idx) — (reference analog: sort lines by bbox y then
+assemble, text_extractor.py:177-193). A single hash repartition on
+conv_id is reused by every window below, so the family costs exactly
+one shuffle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
+from engine.operators import core
 from engine.schema import ROLL_WINDOW_S, SESSION_GAP_S
 
+ENTITY, TS, IDX = "conv_id", "ts", "turn_idx"
 TS_SEC = "_ts_sec"  # internal epoch-seconds double column
 
 
 def turn_order():
-    return [F.col("ts").asc(), F.col("turn_idx").asc()]
+    return core.order_cols(TS, IDX)
 
 
 def conv_window() -> Window:
-    return Window.partitionBy("conv_id").orderBy(*turn_order())
+    return core.entity_window(ENTITY, TS, IDX)
 
 
 def with_ts_sec(df: DataFrame) -> DataFrame:
     # timestamp → epoch seconds as double (µs-exact for ms-precision data;
-    # identical to pandas int64-ns/1e9 under IEEE correctly-rounded division)
-    return df.withColumn(TS_SEC, F.col("ts").cast("double"))
+    # identical to pandas int64-µs/1e6 under IEEE correctly-rounded division)
+    return df.withColumn(TS_SEC, core.ts_seconds(TS))
 
 
 def add_lag_lead(df: DataFrame) -> DataFrame:
@@ -56,16 +60,13 @@ def add_sessionization(df: DataFrame, gap_s: float = SESSION_GAP_S) -> DataFrame
     sess_len_so_far is the running sum of txt_len within the session
     (inclusive of the current turn).
     """
-    w = conv_window()
-    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.col(TS_SEC) - F.lag(TS_SEC).over(w)
-    new_sess = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
-    df = df.withColumn(
-        "session_id", (F.sum(new_sess).over(cum) - F.lit(1)).cast("int")
+    df = core.sessionize(
+        df, ENTITY, TS, IDX, gap_s, session_col="session_id", seq_col="sess_turn_no"
     )
-    ws = Window.partitionBy("conv_id", "session_id").orderBy(*turn_order())
-    ws_cum = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return df.withColumn("sess_turn_no", F.row_number().over(ws)).withColumn(
+    ws_cum = Window.partitionBy(ENTITY, "session_id").orderBy(*turn_order()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(
         "sess_len_so_far",
         F.sum(F.coalesce(F.col("txt_len"), F.lit(0)).cast("long")).over(ws_cum),
     )
@@ -78,14 +79,14 @@ def add_context_ffill(df: DataFrame) -> DataFrame:
     the canonical Spark ffill; inclusive of the current turn (the
     current row is not the future, so this is leakage-free).
     """
-    cum = conv_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return df.withColumn(
-        "ctx_last_tool", F.last("tool", ignorenulls=True).over(cum)
-    ).withColumn(
+    df = core.ffill(df, ENTITY, TS, IDX, "tool", "ctx_last_tool")
+    return core.ffill(
+        df,
+        ENTITY,
+        TS,
+        IDX,
+        F.when(F.col("role") == "user", F.col("text")),
         "ctx_last_user_text",
-        F.last(
-            F.when(F.col("role") == "user", F.col("text")), ignorenulls=True
-        ).over(cum),
     )
 
 
@@ -103,14 +104,22 @@ def add_rolling(
     rolling distinct to a cheaper approximation EXCLUDED from allclose
     columns (SURVEY.md §7.4).
     """
-    wr = (
-        Window.partitionBy("conv_id")
-        .orderBy(F.col(TS_SEC))
-        .rangeBetween(-int(window_s), Window.currentRow)
+    aggs = {
+        "roll_cnt_5m": F.count(F.lit(1)),
+        "roll_avg_len_5m": F.avg("txt_len"),
+        # window aggregates only — size/array_distinct applied after
+        "_roll_tools": (
+            F.approx_count_distinct("tool")
+            if approx_distinct
+            else F.collect_list("tool")
+        ),
+    }
+    df = core.rolling_range(df, ENTITY, TS, int(window_s), aggs)
+    distinct = (
+        F.col("_roll_tools")
+        if approx_distinct
+        else F.size(F.array_distinct(F.col("_roll_tools")))
     )
-    df = df.withColumn("roll_cnt_5m", F.count(F.lit(1)).over(wr)).withColumn(
-        "roll_avg_len_5m", F.avg("txt_len").over(wr)
+    return df.withColumn("roll_tools_distinct_5m", distinct.cast("int")).drop(
+        "_roll_tools"
     )
-    # collect_list skips nulls; array_distinct over the frame's tools
-    distinct = F.size(F.array_distinct(F.collect_list("tool").over(wr)))
-    return df.withColumn("roll_tools_distinct_5m", distinct.cast("int"))

@@ -1,0 +1,475 @@
+"""Driver-gate queries: each SURVEY.md §2 operator family expressed
+over the driver's parquet tables, with a DuckDB-ANSI-SQL oracle.
+
+The transcript pipeline itself is verified by the pytest oracle
+(tests/test_pipeline_parity.py); these queries additionally prove each
+operator on the generic tables the driver can cross-check with DuckDB
+(events ≈ transcripts: entity=user_id, order=(ts, event_id)).
+
+Conventions for oracle hash-parity:
+- session timezone pinned to UTC inside every callable;
+- every float output rounded (6 dp; 2 dp for large sums) IN BOTH
+  engines so independent summation orders hash identically;
+- every ranking fully tie-broken; no raw timestamps in outputs
+  (epoch seconds instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from engine.operators import core
+from engine.operators.asof import asof_join
+from engine.operators.topk import top_tools_final  # noqa: F401 (re-export)
+
+SESSION_GAP_S = 1800
+ROLL_S = 300
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scans, aggs, joins, top-k) — SURVEY §2.1/2.4/2.6/2.9
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped hash aggregation (A3-A6 partial+final agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                            AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                       AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6)                            AS avg_qty,
+       ROUND(AVG(l_discount), 6)                            AS avg_disc,
+       COUNT(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Broadcast dim join + agg + deterministic top-k (§2.9, W6/T3)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(10)
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time family over events (entity=user_id) — SURVEY §2.5 + north_rule
+# ---------------------------------------------------------------------------
+
+def q_sessionize(spark, sf_dir):
+    """ts-gap sessionization (W4): 0-based session per user + seq."""
+    ev = _t(spark, sf_dir, "events")
+    out = core.sessionize(ev, "user_id", "ts", "event_id", SESSION_GAP_S)
+    return out.select("user_id", "event_id", "session_id", "sess_seq")
+
+
+SQL_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1e6 > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT) AS session_id
+  FROM g
+)
+SELECT user_id, event_id, session_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+            ORDER BY ts, event_id) AS INT) AS sess_seq
+FROM s
+"""
+
+
+def q_lag_lead(spark, sf_dir):
+    """lag/lead + inter-event gap (mandated lag/lead family)."""
+    ev = _t(spark, sf_dir, "events")
+    w = core.entity_window("user_id", "ts", "event_id")
+    sec = core.ts_seconds("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.lag("value").over(w), 6).alias("lag_value"),
+        F.round(F.lead("value").over(w), 6).alias("lead_value"),
+        F.round(sec - F.lag(sec).over(w), 6).alias("gap_prev_s"),
+    )
+
+
+SQL_LAG_LEAD = """
+SELECT user_id, event_id,
+       ROUND(LAG(value)  OVER w, 6) AS lag_value,
+       ROUND(LEAD(value) OVER w, 6) AS lead_value,
+       ROUND((epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1e6, 6) AS gap_prev_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_ffill(spark, sf_dir):
+    """Backfill/ffill: latest purchase value at or before each event."""
+    ev = _t(spark, sf_dir, "events")
+    out = core.ffill(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+        "last_purchase_value",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("last_purchase_value", 6).alias("last_purchase_value"),
+    )
+
+
+SQL_FFILL = """
+SELECT user_id, event_id,
+       ROUND(LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS last_purchase_value
+FROM events
+"""
+
+
+def q_rolling(spark, sf_dir):
+    """Event-time rolling frame [ts-300 s, ts] per user (range frame)."""
+    ev = _t(spark, sf_dir, "events")
+    out = core.rolling_range(
+        ev,
+        "user_id",
+        "ts",
+        ROLL_S,
+        {"roll_cnt": F.count(F.lit(1)), "_avg": F.avg("value")},
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "roll_cnt",
+        F.round("_avg", 6).alias("roll_avg_value"),
+    )
+
+
+SQL_ROLLING = f"""
+SELECT user_id, event_id,
+       COUNT(*) OVER w            AS roll_cnt,
+       ROUND(AVG(value) OVER w, 6) AS roll_avg_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL {ROLL_S} SECONDS PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_asof_purchase(spark, sf_dir):
+    """As-of join: each view event ← latest purchase (ts' <= ts) of the
+    same user. Runs the engine's union-tag as-of operator; the oracle
+    replays the same semantics in DuckDB SQL."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    ctx = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("event_ts"),
+        F.col("event_id").alias("ctx_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        probe,
+        ctx,
+        on="user_id",
+        probe_ts="ts",
+        probe_idx="event_id",
+        ctx_ts="event_ts",
+        ctx_idx="ctx_id",
+        payload=["purchase_value"],
+        prefix="asof_",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("asof_purchase_value", 6).alias("asof_purchase_value"),
+    )
+
+
+SQL_ASOF_PURCHASE = """
+WITH u AS (
+  SELECT user_id, ts, event_id, 1 AS side, NULL::BIGINT AS ev_idx, NULL::DOUBLE AS pv
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, NULL, 0 AS side, event_id, value
+  FROM events WHERE event_type = 'purchase'
+),
+f AS (
+  SELECT user_id, ts, event_id, side,
+         LAST_VALUE(pv IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, side, ev_idx NULLS LAST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched
+  FROM u
+)
+SELECT user_id, event_id, ROUND(matched, 6) AS asof_purchase_value
+FROM f WHERE side = 1
+"""
+
+
+def q_topk_event_types(spark, sf_dir):
+    """Per-entity frequency top-k (dominant-value contract, A2/A3+W6)."""
+    ev = _t(spark, sf_dir, "events")
+    return core.topk_by_count(ev, "user_id", "event_type", 3)
+
+
+SQL_TOPK_EVENT_TYPES = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, cnt,
+       CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY cnt DESC, event_type ASC) AS rnk FROM c)
+WHERE rnk <= 3
+"""
+
+
+def q_session_assembly(spark, sf_dir):
+    """Ordered grouping + stable ordered concat (W1/W2/W3): per
+    (user, session): size, span, event-type path in (ts, event_id)
+    order — the reference's group-lines → sort-by-y → join semantics."""
+    ev = _t(spark, sf_dir, "events")
+    s = core.sessionize(ev, "user_id", "ts", "event_id", SESSION_GAP_S, seq_col=None)
+    sec = core.ts_seconds("ts")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max(sec) - F.min(sec), 6).alias("span_s"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x.event_type,
+                ),
+                ">",
+            ).alias("path"),
+        )
+    )
+
+
+SQL_SESSION_ASSEMBLY = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1e6 > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       ROUND((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1e6, 6) AS span_s,
+       STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_dedup_first(spark, sf_dir):
+    """Order-preserving dedup (W5): first event per (user, type)."""
+    ev = _t(spark, sf_dir, "events")
+    out = core.dedup_first(ev, ["user_id", "event_type"], "ts", "event_id")
+    return out.select("user_id", "event_type", "event_id")
+
+
+SQL_DEDUP_FIRST = """
+SELECT user_id, event_type, event_id
+FROM (SELECT user_id, event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_argmax_value(spark, sf_dir):
+    """Per-entity arg-max (A7: largest-area text region analog)."""
+    ev = _t(spark, sf_dir, "events")
+    out = core.argmax_by(ev, "user_id", "value", "event_id")
+    return out.select(
+        "user_id", "event_id", F.round("value", 6).alias("max_value")
+    )
+
+
+SQL_ARGMAX_VALUE = """
+SELECT user_id, event_id, ROUND(value, 6) AS max_value
+FROM (SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_bin_users(spark, sf_dir):
+    """Threshold binning of a group aggregate (P11 font-weight analog)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(F.avg("value").alias("_avg"))
+    return agg.select(
+        "user_id",
+        F.round("_avg", 6).alias("avg_value"),
+        core.bin_threshold(F.col("_avg"), 60.0, 40.0).alias("value_class"),
+    )
+
+
+SQL_BIN_USERS = """
+SELECT user_id, ROUND(AVG(value), 6) AS avg_value,
+       CASE WHEN AVG(value) >= 60 THEN 'Light'
+            WHEN AVG(value) > 40 THEN 'Regular'
+            ELSE 'Bold' END AS value_class
+FROM events GROUP BY user_id
+"""
+
+
+def q_json_props(spark, sf_dir):
+    """Decode/parse stored blobs (S4: bytes→record analog, from_json)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+FROM events
+"""
+
+
+def q_hex_format(spark, sf_dir):
+    """rgb→hex key formatting (P1) + parse-back round trip (P2)."""
+    ev = _t(spark, sf_dir, "events")
+    r = (F.col("event_id") % 256).cast("int")
+    g = ((F.col("event_id") * 7) % 256).cast("int")
+    b = ((F.col("event_id") * 13) % 256).cast("int")
+    hexc = F.format_string("#%02x%02x%02x", r, g, b)
+    return ev.select(
+        "event_id",
+        hexc.alias("hex_color"),
+        F.conv(F.substring(hexc, 2, 2), 16, 10).cast("int").alias("r_back"),
+    )
+
+
+SQL_HEX_FORMAT = """
+SELECT event_id,
+       printf('#%02x%02x%02x', event_id % 256, (event_id * 7) % 256,
+              (event_id * 13) % 256) AS hex_color,
+       CAST(event_id % 256 AS INT) AS r_back
+FROM events
+"""
+
+
+def q_luminance(spark, sf_dir):
+    """Derived numeric features: relative luminance, WCAG contrast vs
+    white, is_light threshold (P3/P4/P5)."""
+    ev = _t(spark, sf_dir, "events")
+    r = (F.col("event_id") % 256) / 255.0
+    g = ((F.col("event_id") * 7) % 256) / 255.0
+    b = ((F.col("event_id") * 13) % 256) / 255.0
+    lum = 0.2126 * r + 0.7152 * g + 0.0722 * b
+    contrast = (F.lit(1.0) + 0.05) / (lum + 0.05)
+    return ev.select(
+        "event_id",
+        F.round(lum, 6).alias("luminance"),
+        F.round(contrast, 6).alias("contrast_vs_white"),
+        (lum > 0.6).alias("is_light"),
+    )
+
+
+SQL_LUMINANCE = """
+SELECT event_id,
+       ROUND(lum, 6) AS luminance,
+       ROUND(1.05 / (lum + 0.05), 6) AS contrast_vs_white,
+       lum > 0.6 AS is_light
+FROM (SELECT event_id,
+             0.2126 * ((event_id % 256) / 255.0)
+           + 0.7152 * (((event_id * 7) % 256) / 255.0)
+           + 0.0722 * (((event_id * 13) % 256) / 255.0) AS lum
+      FROM events)
+"""
+
+
+def q_quarantine(spark, sf_dir):
+    """Validation-gate split (F2-F7 analogs): typed error code per
+    failing row; first failing gate wins (validator ordering)."""
+    ev = _t(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("value") < 0.0, "NEGATIVE_VALUE")
+        .when(
+            ~F.col("event_type").isin("view", "click", "purchase", "signup", "error"),
+            "INVALID_ENUM",
+        )
+        .when(F.length("props") > 1000, "ROW_TOO_LARGE")
+        .otherwise(None)
+    )
+    tagged = ev.withColumn("code", code)
+    return tagged.groupBy("code").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_QUARANTINE = """
+SELECT CASE WHEN value < 0.0 THEN 'NEGATIVE_VALUE'
+            WHEN event_type NOT IN ('view','click','purchase','signup','error')
+                 THEN 'INVALID_ENUM'
+            WHEN LENGTH(props) > 1000 THEN 'ROW_TOO_LARGE'
+            ELSE NULL END AS code,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
