@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Times every `__spark_entry__.queries()` entry at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the flagship transcript
+feature-vector pipeline (headline metric: turns/sec).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "flagship": {...}}
+
+Each query is materialized with a noop-format write (full compute,
+no driver collect); per-query time is wall-clock around the action.
+
+Usage:
+  python bench.py                 # full run, one JSON line on stdout
+  python bench.py --queries q1,q2 # subset
+  python bench.py --turns 500000  # flagship scale override
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _materialize(df) -> int:
+    """Force full computation of the plan; return row count.
+
+    noop write executes every partition without collecting rows to the
+    driver; the separate count() is avoided by using observe-free
+    write + a cheap cached count only when needed. For bench purposes
+    the noop write IS the measured action.
+    """
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _flagship_input(spark, n_turns_target: int, tmpdir: str):
+    """Deterministic transcript + context tables at bench scale,
+    written once to parquet so generation cost is outside the timer."""
+    from engine.generate import generate_context_events, generate_transcripts
+    from engine.schema import CONTEXT_SCHEMA, TRANSCRIPT_SCHEMA
+
+    # zipf sizing: mean conversation length ≈ 40 turns at default params
+    n_convs = max(200, n_turns_target // 40)
+    tpath = os.path.join(tmpdir, f"transcripts_{n_convs}.parquet")
+    cpath = os.path.join(tmpdir, f"context_{n_convs}.parquet")
+    if not os.path.exists(tpath):
+        tp = generate_transcripts(n_convs=n_convs, seed=42)
+        cp = generate_context_events(tp, seed=43)
+        spark.createDataFrame(tp, schema=TRANSCRIPT_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(tpath)
+        spark.createDataFrame(cp, schema=CONTEXT_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(cpath)
+    t = spark.read.parquet(tpath)
+    c = spark.read.parquet(cpath)
+    return t, c
+
+
+def run_bench(sf_dir: str, cpus: int, only: set[str] | None, n_turns: int) -> dict:
+    from engine.session import build_session
+
+    spark = build_session(
+        app_name=f"bench-local[{cpus}]", master=f"local[{cpus}]"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qtimes: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        df = fn(spark, sf_dir)
+        t0 = time.time()
+        _materialize(df)
+        qtimes[name] = round(time.time() - t0, 3)
+
+    # Flagship: full transcript feature pipeline, turns/sec.
+    from engine.pipeline import extract_features
+
+    tmpdir = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/spark_graft_bench")
+    os.makedirs(tmpdir, exist_ok=True)
+    t, c = _flagship_input(spark, n_turns, tmpdir)
+    n_rows = t.count()
+    features, errors, _meta = extract_features(spark, t, c)
+    t0 = time.time()
+    _materialize(features)
+    flag_s = time.time() - t0
+    turns_per_sec = n_rows / flag_s if flag_s > 0 else float("nan")
+    qtimes["flagship_pipeline"] = round(flag_s, 3)
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    total = round(sum(qtimes.values()), 3)
+    result = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "flagship": {
+            "turns": n_rows,
+            "seconds": round(flag_s, 3),
+            "turns_per_sec": round(turns_per_sec, 1),
+            "cores": cpus,
+        },
+    }
+    spark.stop()
+    return result
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument(
+        "--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    ap.add_argument("--queries", default=None, help="comma-separated subset")
+    ap.add_argument(
+        "--turns",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "1000000")),
+        help="flagship transcript-table size (rows)",
+    )
+    args = ap.parse_args()
+    only = set(args.queries.split(",")) if args.queries else None
+    result = run_bench(args.sf_dir, args.cpus, only, args.turns)
+    print(json.dumps(result))
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
