@@ -36,7 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from engine.doc_queries import QUERIES as DOC_QUERIES
+
     return {
+        **DOC_QUERIES,
         "pricing_summary": Q.q_pricing_summary,
         "top_customers": Q.q_top_customers,
         "sessionize": Q.q_sessionize,
@@ -57,7 +60,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from engine.doc_queries import ORACLES as DOC_ORACLES
+
     return {
+        **DOC_ORACLES,
         "pricing_summary": Q.SQL_PRICING,
         "top_customers": Q.SQL_TOP_CUSTOMERS,
         "sessionize": Q.SQL_SESSIONIZE,

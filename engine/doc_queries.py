@@ -1,0 +1,444 @@
+"""Training-data-pipeline queries over documents/embeddings, each with
+a DuckDB oracle: dedup (exact / MinHash-LSH / SimHash), similarity
+search (brute-force + sign-LSH ANN), text analysis (language-ID,
+quality scoring, token counting, fingerprinting), multimodal metadata.
+
+Oracle-parity conventions (same as engine/queries.py): UTC session,
+floats rounded identically in both engines, all rankings fully
+tie-broken, md5 hex strings as the only hash primitive (portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from engine.functions import docs as D
+from engine.operators import dedup as DD
+from engine.operators import similarity as SIM
+
+_BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_NORM_SQL = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_TOKS_SQL = r"string_split_regex(trim(text), '\s+')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_doc_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        D.n_tokens_ws(F.col("text")).alias("n_tokens_ws"),
+        D.n_tokens_bpe(F.col("text")).alias("n_tokens_bpe"),
+        F.length("text").alias("n_chars_engine"),
+    )
+
+
+SQL_DOC_TOKEN_STATS = f"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens_ws,
+       len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_tokens_bpe,
+       length(text) AS n_chars_engine
+FROM documents
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality scoring: punct/stopword ratios, mean word length,
+    composite score + 3-way class bin (P11 analog)."""
+    from engine.operators.core import bin_threshold
+
+    d = _t(spark, sf_dir, "documents")
+    score = D.quality_score(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.round(D.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(D.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(D.mean_word_len(F.col("text")), 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality"),
+        bin_threshold(score, 0.7, 0.5, ("high", "medium", "low")).alias(
+            "quality_class"
+        ),
+    )
+
+
+_SW = "', '".join(D.QUALITY_STOPWORDS)
+SQL_DOC_QUALITY = f"""
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_space,
+         {_TOKS_SQL} AS toks,
+         string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         CASE WHEN n > 0 THEN n_punct / (n - n_space + 1e-12) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(ltoks) > 0
+              THEN len(list_filter(ltoks, t -> list_contains(['{_SW}'], t))) / CAST(len(ltoks) AS DOUBLE)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mean_word_len,
+         len(toks) AS n_toks
+  FROM b
+), s AS (
+  SELECT doc_id, punct_ratio, stopword_ratio, mean_word_len,
+         0.4 * least(n_toks / 100.0, 1.0)
+       + 0.3 * (1.0 - least(punct_ratio, 1.0))
+       + 0.3 * least(stopword_ratio * 5.0, 1.0) AS quality
+  FROM r
+)
+SELECT doc_id,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(quality, 6) AS quality,
+       CASE WHEN quality >= 0.7 THEN 'high'
+            WHEN quality > 0.5 THEN 'medium'
+            ELSE 'low' END AS quality_class
+FROM s
+"""
+
+
+def q_doc_langid(spark, sf_dir):
+    """Stopword-marker language-ID heuristic + per-language hit counts."""
+    d = _t(spark, sf_dir, "documents")
+    cols = [F.col("doc_id")]
+    for lang, score in D.langid_scores(F.col("text")):
+        cols.append(score.alias(f"{lang}_hits"))
+    cols.append(D.langid_predict(F.col("text")).alias("pred_lang"))
+    return d.select(*cols)
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = "', '".join(D.LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        f"t -> list_contains(['{markers}'], t)))"
+    )
+
+
+SQL_DOC_LANGID = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_lang_hits_sql('de')} AS de_hits,
+         {_lang_hits_sql('en')} AS en_hits,
+         {_lang_hits_sql('es')} AS es_hits,
+         {_lang_hits_sql('fr')} AS fr_hits
+  FROM documents
+)
+SELECT doc_id, de_hits, en_hits, es_hits, fr_hits,
+       CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'und'
+            WHEN de_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'de'
+            WHEN en_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'en'
+            WHEN es_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM h
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: exact (md5 of normalized text) and
+    rolling-hash (min over 8-char window hashes)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        D.content_fingerprint(F.col("text")).alias("fp_exact"),
+        D.rolling_fingerprint("text", k=8).alias("fp_rolling"),
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id,
+       md5({_NORM_SQL}) AS fp_exact,
+       CASE WHEN length({_NORM_SQL}) >= 8 THEN
+         list_min(list_transform(range(1, length({_NORM_SQL}) - 6),
+                  i -> md5(substr({_NORM_SQL}, CAST(i AS INT), 8))))
+       END AS fp_rolling
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.exact_dedup_groups(d)
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5({_NORM_SQL}) AS fingerprint,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    """Per-doc MinHash signature (8 hashes over word 3-gram shingles)."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = DD.minhash_signature(d, num_hashes=8, shingle_n=3)
+    return sigs.select("doc_id", *[f"sig_{h}" for h in range(8)])
+
+
+_SHINGLES_SQL = (
+    f"list_distinct(list_transform(range(1, len({_TOKS_SQL}) - 1), "
+    f"i -> array_to_string(({_TOKS_SQL})[CAST(i AS INT):CAST(i AS INT)+2], ' ')))"
+)
+
+
+def _sig_sql(h: int) -> str:
+    return f"list_min(list_transform(shingles, s -> md5(s || '#{h}')))"
+
+
+SQL_DEDUP_MINHASH_SIG = f"""
+WITH s AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  FROM documents
+  WHERE len({_TOKS_SQL}) >= 3
+)
+SELECT doc_id,
+       {', '.join(f'{_sig_sql(h)} AS sig_{h}' for h in range(8))}
+FROM s WHERE len(shingles) > 0
+"""
+
+
+def q_dedup_near_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs, Jaccard-verified at 0.2."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.verified_near_dups(d, num_hashes=8, bands=4, threshold=0.2)
+
+
+SQL_DEDUP_NEAR_PAIRS = f"""
+WITH s AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  FROM documents WHERE len({_TOKS_SQL}) >= 3
+), sg AS (
+  SELECT doc_id, shingles,
+         {', '.join(f'{_sig_sql(h)} AS sig_{h}' for h in range(8))}
+  FROM s WHERE len(shingles) > 0
+), b AS (
+  SELECT doc_id, band_idx,
+         CASE band_idx WHEN 0 THEN md5(sig_0 || sig_1)
+                       WHEN 1 THEN md5(sig_2 || sig_3)
+                       WHEN 2 THEN md5(sig_4 || sig_5)
+                       ELSE md5(sig_6 || sig_7) END AS band_key
+  FROM sg, unnest([0, 1, 2, 3]) AS u(band_idx)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM b a JOIN b b2
+    ON a.band_idx = b2.band_idx AND a.band_key = b2.band_key
+   AND a.doc_id < b2.doc_id
+)
+SELECT p.id_a, p.id_b,
+       ROUND(len(list_intersect(sa.shingles, sb.shingles))
+             / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE), 6)
+         AS jaccard
+FROM pairs p
+JOIN sg sa ON sa.doc_id = p.id_a
+JOIN sg sb ON sb.doc_id = p.id_b
+WHERE len(list_intersect(sa.shingles, sb.shingles))
+      / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.2
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash16(d)
+
+
+_BITSUMS_SQL = ", ".join(
+    f"SUM(CASE WHEN h IS NULL THEN 0 WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(16)
+)
+_SIMHASH_SQL = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+SQL_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CASE WHEN tok <> '' THEN CAST('0x' || substr(md5(tok), 1, 4) AS INT) END AS h
+  FROM toks
+), agg AS (
+  SELECT doc_id, {_BITSUMS_SQL}, COUNT(h) AS _n_tok
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN _n_tok > 0 THEN {_SIMHASH_SQL} END AS INT) AS simhash
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_N_PROBES = 8
+_DOT_SQL = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)"
+    " * CAST(p.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _norm_sql(alias: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(range(1, 65), "
+        f"i -> CAST({alias}.embedding[CAST(i AS INT)] AS DOUBLE)"
+        f" * CAST({alias}.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y))"
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 for the first 8 vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return SIM.brute_force_topk(e, probes, k=5)
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH pairs AS (
+  SELECT p.vec_id AS probe_id, a.vec_id,
+         {_DOT_SQL} / ({_norm_sql('a')} * {_norm_sql('p')}) AS cos
+  FROM embeddings a, embeddings p
+  WHERE p.vec_id < {_N_PROBES} AND a.vec_id <> p.vec_id
+), r AS (
+  SELECT probe_id, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM pairs
+)
+SELECT probe_id, vec_id, ROUND(cos, 6) AS cos, rank
+FROM r WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN top-3 (the scale path: candidates share
+    an 8-bit sign code; exact cosine re-ranks inside the bucket)."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return SIM.lsh_topk(e, probes, k=3)
+
+
+_CODE_SQL = " + ".join(
+    f"CASE WHEN {{a}}.embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(8)
+)
+SQL_ANN_LSH_TOPK = f"""
+WITH pairs AS (
+  SELECT p.vec_id AS probe_id, a.vec_id,
+         {_DOT_SQL} / ({_norm_sql('a')} * {_norm_sql('p')}) AS cos
+  FROM embeddings a, embeddings p
+  WHERE p.vec_id < {_N_PROBES} AND a.vec_id <> p.vec_id
+    AND ({_CODE_SQL.format(a='a')}) = ({_CODE_SQL.format(a='p')})
+), r AS (
+  SELECT probe_id, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM pairs
+)
+SELECT probe_id, vec_id, ROUND(cos, 6) AS cos, rank
+FROM r WHERE rank <= 3
+"""
+
+
+def q_embed_label_stats(spark, sf_dir):
+    """Per-label embedding stats: count + mean L2 norm."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", SIM.l2_norm(F.col("embedding")).alias("_norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("_norm"), 6).alias("avg_norm"),
+        )
+    )
+
+
+SQL_EMBED_LABEL_STATS = f"""
+SELECT label, COUNT(*) AS n,
+       ROUND(AVG({_norm_sql('embeddings')}), 6) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column plumbing: synthesize payloads, mapInPandas
+    decode/feature-extract (stubbed codec, real plumbing)."""
+    from engine.multimodal import extract_media_meta, synthesize_media
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_media_meta(synthesize_media(d))
+
+
+SQL_MULTIMODAL_META = """
+WITH m AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                                      WHEN 1 THEN 'audio'
+                                      ELSE 'video' END AS kind,
+         strlen(text) AS n
+  FROM documents
+)
+SELECT doc_id, kind,
+       CAST(n AS INT) AS n_bytes,
+       CAST(CASE WHEN kind IN ('image', 'video') THEN (n % 640) + 1 END AS INT) AS width,
+       CAST(CASE WHEN kind IN ('image', 'video') THEN (n % 480) + 1 END AS INT) AS height,
+       CAST(CASE kind WHEN 'image' THEN 1
+                      WHEN 'audio' THEN n * 4
+                      ELSE (n // 100) + 1 END AS INT) AS n_frames,
+       TRUE AS decode_ok,
+       CAST(NULL AS VARCHAR) AS error
+FROM m
+"""
+
+
+QUERIES = {
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_near_pairs": q_dedup_near_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embed_label_stats": q_embed_label_stats,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLES = {
+    "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "doc_quality": SQL_DOC_QUALITY,
+    "doc_langid": SQL_DOC_LANGID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
+    "dedup_near_pairs": SQL_DEDUP_NEAR_PAIRS,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "embed_label_stats": SQL_EMBED_LABEL_STATS,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+}

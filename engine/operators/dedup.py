@@ -1,0 +1,224 @@
+"""Deduplication operators for document corpora — exact, MinHash+LSH,
+SimHash — designed for 100 TB scale.
+
+Reference lineage: the reference's only dedup is `np.unique` before
+clustering (color_extractor.py:177) and order-preserving set dedup
+(dribbble_extractor.py:117-119); a training-data pipeline needs the
+full family, so these are built Spark-first:
+
+- exact_dedup:      one hash aggregation on a 128-bit fingerprint
+                    (map-side partial combine; shuffle carries only
+                    (fingerprint, id) — never the text).
+- MinHash + LSH:    shingle → H minhashes → B band keys → bucket
+                    self-join → verified n-gram Jaccard. The self-join
+                    shuffles only (band_key, doc_id, signature) — text
+                    rejoined only for the tiny candidate set. Bucket
+                    sizes are bounded w.h.p.; AQE skew-join splits any
+                    pathological bucket.
+- SimHash:          64 bits are overkill for an oracle-checkable demo;
+                    we emit a 16-bit simhash from token hashes via one
+                    explode + hash-agg (both shuffles are on doc_id —
+                    partial-aggregated map-side).
+
+Every hash is md5-based (hex strings; fixed-width lowercase hex makes
+lexicographic MIN == numeric MIN), so DuckDB oracles reproduce values
+bit-exactly — no engine-specific hash functions anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+def word_shingles(col_name: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the whitespace-tokenized text
+    column `col_name`. Empty array when fewer than n tokens."""
+    return F.expr(
+        f"CASE WHEN size(split(trim({col_name}), '\\\\s+')) >= {n} THEN "
+        f"array_distinct(transform("
+        f"  sequence(1, size(split(trim({col_name}), '\\\\s+')) - {n - 1}),"
+        f"  i -> array_join(slice(split(trim({col_name}), '\\\\s+'), i, {n}), ' ')))"
+        f" ELSE array() END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group exact duplicates (after whitespace/case normalization):
+    one row per distinct fingerprint with the canonical (minimum) id
+    and the duplicate count. At scale: a single hash aggregation whose
+    shuffle rows are (16-byte hash, id) — text never shuffles."""
+    from engine.functions.docs import content_fingerprint
+
+    return (
+        df.select(
+            content_fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs + verified Jaccard
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: sig_h = MIN over shingles of
+    md5(shingle || '#' || h). Hex-string min == numeric min (fixed
+    width). Docs with zero shingles are dropped (nothing to hash).
+    Narrow projection — no shuffle."""
+    sh = word_shingles(text_col, shingle_n)
+    out = df.select(F.col(id_col), sh.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+
+    def hash_fn(h: int):
+        # NOTE: must stay a ONE-argument lambda — a second parameter
+        # would make F.transform pass the array index into it.
+        suffix = F.lit(f"#{h}")
+        return lambda s: F.md5(F.concat(s, suffix))
+
+    for h in range(num_hashes):
+        out = out.withColumn(
+            f"sig_{h}", F.array_min(F.transform(F.col("shingles"), hash_fn(h)))
+        )
+    return out
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split the signature into `bands` bands of
+    num_hashes/bands rows; docs sharing any band key are candidates.
+    Returns distinct (id_a < id_b) pairs. The self-join shuffles only
+    (band_idx, band_key, id); bucket sizes are O(1) w.h.p. so the join
+    fan-out is bounded; AQE skew-join handles degenerate buckets."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat(*[F.col(f"sig_{b * rows + r}") for r in range(rows)])
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    bands_df = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def verified_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
+    candidate pairs → exact n-gram Jaccard on the candidates only →
+    keep pairs with jaccard >= threshold.
+
+    Scale shape: the expensive exact Jaccard runs ONLY on the candidate
+    set (|candidates| << |docs|²); shingle arrays are rejoined to the
+    pairs via two hash joins on id."""
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    sh = sigs.select(F.col(id_col), "shingles")
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash16(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash over distinct whitespace tokens. Token hash =
+    first 4 hex chars of md5(token) as an integer; bit j of the simhash
+    is set iff the sum over tokens of ±1 (by bit j of the token hash)
+    is positive. One explode + one hash-agg keyed on id (partial
+    map-side combine keeps the shuffle small). Docs with no tokens get
+    simhash NULL."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
+    ).withColumn(
+        "h",
+        F.when(
+            F.col("tok").isNotNull() & (F.col("tok") != ""),
+            F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int"),
+        ),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").isNull(), 0)
+            .when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(16)
+    ]
+    agg = toks.groupBy(id_col).agg(
+        *bit_sums, F.count("h").alias("_n_tok")
+    )
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
+        sim = term if sim is None else sim + term
+    return agg.select(
+        F.col(id_col),
+        F.when(F.col("_n_tok") > 0, sim).cast("int").alias("simhash"),
+    )

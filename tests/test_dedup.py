@@ -1,0 +1,98 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash — on planted
+duplicates (properties the driver's random tables can't guarantee)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from engine.operators.dedup import (
+    exact_dedup_groups,
+    minhash_signature,
+    simhash16,
+    verified_near_dups,
+    word_shingles,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the old river bank tonight"
+OTHER = "completely different text with no overlap whatsoever in any shingle at all"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                      # exact dup of 1
+        (3, "  THE  quick brown fox jumps over the lazy dog near the old river bank today "),
+        # ^ exact dup of 1 after normalization (case + whitespace)
+        (4, NEAR),                      # near dup of 1 (one word differs)
+        (5, OTHER),
+        (6, "short text"),              # < 3 tokens → no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["canonical_id"]: r["n_dups"] for r in exact_dedup_groups(docs).collect()}
+    assert out[1] == 3          # docs 1, 2, 3 collapse after normalization
+    assert out[4] == 1
+    assert out[5] == 1
+
+
+def test_minhash_signature_matches_python(docs):
+    sigs = {r["doc_id"]: r for r in minhash_signature(docs).collect()}
+    # identical docs → identical signatures
+    assert all(sigs[1][f"sig_{h}"] == sigs[2][f"sig_{h}"] for h in range(8))
+    # signature equals the hand-computed minhash
+    toks = BASE.split()
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    for h in range(8):
+        expect = min(
+            hashlib.md5(f"{s}#{h}".encode()).hexdigest() for s in shingles
+        )
+        assert sigs[1][f"sig_{h}"] == expect
+    # doc 6 has < 3 tokens → excluded
+    assert 6 not in sigs
+
+
+def test_lsh_near_dups_find_planted_pair(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in verified_near_dups(docs, threshold=0.2).collect()
+    }
+    # exact dups share all bands and jaccard 1.0
+    assert pairs[(1, 2)] == 1.0
+    # doc 3 differs only by case/whitespace: shingling is case-SENSITIVE
+    # by design (normalize upstream if wanted), so jaccard < 1 here
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    # the near-dup pair is found and its jaccard matches the set math
+    toks_a, toks_b = BASE.split(), NEAR.split()
+    sh_a = {" ".join(toks_a[i : i + 3]) for i in range(len(toks_a) - 2)}
+    sh_b = {" ".join(toks_b[i : i + 3]) for i in range(len(toks_b) - 2)}
+    expect = round(len(sh_a & sh_b) / len(sh_a | sh_b), 6)
+    assert pairs[(1, 4)] == pytest.approx(expect, abs=1e-9)
+    # unrelated docs never pair
+    assert not any(5 in p for p in pairs)
+
+
+def test_simhash_identical_and_bounded(docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
+    assert out[1] == out[2] == out[3]   # same token set → same simhash
+    assert out[1] != out[5]
+    assert all(v is None or 0 <= v < (1 << 16) for v in out.values())
+
+
+def test_word_shingles_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "   ")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", word_shingles("text").alias("sh")
+    ).collect()}
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == []
+    assert got[3] == []

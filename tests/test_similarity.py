@@ -1,0 +1,91 @@
+"""Similarity search: exact cosine top-k vs numpy; sign-LSH bucketing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from engine.operators.similarity import brute_force_topk, cosine, lsh_topk, sign_code
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(40, 16)).astype(np.float32)
+    mat[1] = mat[0] * 2.0           # vec 1 ∥ vec 0 → cosine exactly 1
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    return spark.createDataFrame(rows, SCHEMA), mat
+
+
+def _np_topk(mat, probe, k):
+    q = mat[probe].astype(np.float64)
+    sims = []
+    for i in range(len(mat)):
+        if i == probe:
+            continue
+        v = mat[i].astype(np.float64)
+        sims.append((i, float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))))
+    sims.sort(key=lambda t: (-t[1], t[0]))
+    return sims[:k]
+
+
+def test_brute_force_matches_numpy(vectors):
+    df, mat = vectors
+    probes = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    got = brute_force_topk(df, probes, k=5).collect()
+    by_probe: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["probe_id"], r["rank"])):
+        by_probe.setdefault(r["probe_id"], []).append((r["vec_id"], r["cos"]))
+    for p in range(3):
+        expect = _np_topk(mat, p, 5)
+        assert [i for i, _ in by_probe[p]] == [i for i, _ in expect]
+        for (_, g), (_, e) in zip(by_probe[p], expect):
+            assert g == pytest.approx(e, abs=1e-6)
+    # parallel vector is rank 1 with cosine 1.0
+    assert by_probe[0][0] == (1, 1.0)
+
+
+def test_cosine_column_matches_numpy(vectors):
+    df, mat = vectors
+    a = df.filter("vec_id = 2").select(F.col("embedding").alias("a"))
+    b = df.filter("vec_id = 3").select(F.col("embedding").alias("b"))
+    got = a.crossJoin(b).select(cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    va, vb = mat[2].astype(np.float64), mat[3].astype(np.float64)
+    assert got == pytest.approx(
+        float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), abs=1e-12
+    )
+
+
+def test_lsh_bucket_candidates_share_code(vectors):
+    df, mat = vectors
+    probes = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    got = lsh_topk(df, probes, k=3).collect()
+    codes = {
+        r["vec_id"]: r["code"]
+        for r in df.select("vec_id", sign_code(F.col("embedding")).alias("code")).collect()
+    }
+    for r in got:
+        assert codes[r["vec_id"]] == codes[r["probe_id"]]
+        assert r["vec_id"] != r["probe_id"]
+    # recall ≤ brute force but every returned neighbor is exact-cosine-ranked
+    # within its bucket: ranks are 1..k without gaps per probe
+    from collections import Counter
+
+    per_probe = Counter(r["probe_id"] for r in got)
+    for p, n in per_probe.items():
+        ranks = sorted(r["rank"] for r in got if r["probe_id"] == p)
+        assert ranks == list(range(1, n + 1))
