@@ -1,0 +1,153 @@
+"""TableIO — snapshot-committed table storage with per-partition
+lineage manifests and exactly-once resume.
+
+North-rule surface: "checkpoint-resumable with per-partition lineage
+manifests and metrics (rows, bytes, watermark) committed to Iceberg
+snapshots". No Iceberg runtime jar ships with local pyspark and the
+sandbox has no network for `--packages`, so this is the documented
+fallback (SURVEY.md §7.5): partitioned Parquet + atomic JSON snapshot
+manifests exposing the same API shape (`append` → snapshot commit,
+`read` → committed-snapshots-only scan). On a cluster with the
+iceberg-spark-runtime jar, `IcebergTableIO` (same three methods over
+`df.writeTo(tbl).append()` + snapshot metadata) slots in unchanged —
+callers never touch paths.
+
+Commit protocol (the reference's atomic "response only after all
+extractors finish" boundary, utils.py:155-214, as a storage contract):
+
+1. data files  →  <root>/<table>/data/snap=<run_id>/   (staging; a
+   crashed run leaves orphan files that are invisible to readers and
+   overwritten on retry)
+2. lineage     →  one record per data FILE (the unit of parallel
+   recovery): rows, bytes, ts-watermark lo/hi
+3. manifest    →  <root>/<table>/_manifests/<run_id>.json written via
+   tmp + atomic rename. The manifest IS the commit: `read` only scans
+   files listed in committed manifests.
+
+Exactly-once resume: `is_committed(run_id)` gates re-execution;
+re-running a committed run_id is a no-op, re-running a crashed one
+overwrites its staging dir. Idempotence is by run_id, which callers
+derive deterministically from (input snapshot, config) — see
+engine/runner.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class TableIO:
+    def __init__(self, root: str):
+        self.root = root
+
+    # -- paths ------------------------------------------------------------
+    def _data_dir(self, table: str, run_id: str) -> str:
+        return os.path.join(self.root, table, "data", f"snap={run_id}")
+
+    def _manifest_dir(self, table: str) -> str:
+        return os.path.join(self.root, table, "_manifests")
+
+    def _manifest_path(self, table: str, run_id: str) -> str:
+        return os.path.join(self._manifest_dir(table), f"{run_id}.json")
+
+    # -- commit protocol ---------------------------------------------------
+    def is_committed(self, table: str, run_id: str) -> bool:
+        return os.path.exists(self._manifest_path(table, run_id))
+
+    def append(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        table: str,
+        run_id: str,
+        ts_col: str | None = "ts",
+        extra_meta: dict | None = None,
+    ) -> dict:
+        """Stage `df` as a new snapshot and atomically commit its
+        manifest. Returns the manifest. No-op (returns the existing
+        manifest) if run_id is already committed."""
+        if self.is_committed(table, run_id):
+            return self.read_manifest(table, run_id)
+
+        data_dir = self._data_dir(table, run_id)
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(data_dir)
+
+        # Per-FILE lineage from the staged snapshot: one footer-cheap
+        # aggregation pass grouped by input_file_name. Files are the
+        # parallel-recovery unit (≈ Iceberg's manifest entries).
+        staged = spark.read.parquet(data_dir)
+        aggs = [
+            F.count(F.lit(1)).alias("rows"),
+        ]
+        if ts_col and ts_col in staged.columns:
+            aggs += [
+                F.min(ts_col).cast("string").alias("watermark_lo"),
+                F.max(ts_col).cast("string").alias("watermark_hi"),
+            ]
+        per_file = (
+            staged.groupBy(F.input_file_name().alias("file"))
+            .agg(*aggs)
+            .collect()
+        )
+        files = []
+        total_rows = 0
+        total_bytes = 0
+        for r in per_file:
+            path = r["file"]
+            local = path.removeprefix("file://").removeprefix("file:")
+            nbytes = os.path.getsize(local) if os.path.exists(local) else None
+            total_rows += r["rows"]
+            total_bytes += nbytes or 0
+            entry = {"file": path, "rows": r["rows"], "bytes": nbytes}
+            if ts_col and ts_col in staged.columns:
+                entry["watermark_lo"] = r["watermark_lo"]
+                entry["watermark_hi"] = r["watermark_hi"]
+            files.append(entry)
+        files.sort(key=lambda e: e["file"])
+
+        manifest = {
+            "table": table,
+            "run_id": run_id,
+            "committed_at_epoch_s": time.time(),
+            "elapsed_s": round(time.time() - t0, 3),
+            "total_rows": total_rows,
+            "total_bytes": total_bytes,
+            "n_files": len(files),
+            "files": files,
+            **(extra_meta or {}),
+        }
+        os.makedirs(self._manifest_dir(table), exist_ok=True)
+        tmp = self._manifest_path(table, run_id) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, self._manifest_path(table, run_id))  # THE commit
+        return manifest
+
+    # -- reads -------------------------------------------------------------
+    def committed_runs(self, table: str) -> list[str]:
+        d = self._manifest_dir(table)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            f.removesuffix(".json") for f in os.listdir(d) if f.endswith(".json")
+        )
+
+    def read_manifest(self, table: str, run_id: str) -> dict:
+        with open(self._manifest_path(table, run_id)) as fh:
+            return json.load(fh)
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        """Scan exactly the files of committed snapshots — orphaned
+        staging data from crashed runs is invisible."""
+        files: list[str] = []
+        for run_id in self.committed_runs(table):
+            files += [e["file"] for e in self.read_manifest(table, run_id)["files"]]
+        if not files:
+            raise FileNotFoundError(f"no committed snapshots for table {table!r}")
+        return spark.read.parquet(*files)

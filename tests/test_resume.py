@@ -1,0 +1,80 @@
+"""Checkpoint-resume + lineage manifests (SURVEY §5.6): exactly-once
+output after a simulated mid-job crash; orphan staging invisible;
+manifest metrics consistent with the data."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from engine.runner import run_resumable
+from engine.tableio import TableIO
+
+
+@pytest.fixture()
+def io(tmp_path):
+    return TableIO(str(tmp_path / "warehouse"))
+
+
+def test_crash_resume_exactly_once(spark, transcripts_df, context_df, io):
+    # "crash" after 2 of 4 batches: run only batches 0-1 by committing
+    # them through the same code path, then re-run the whole job.
+    from engine.pipeline import extract_features
+    from engine.runner import batch_filter
+
+    for b in range(2):
+        t_b = transcripts_df.filter(batch_filter("conv_id", 4, b))
+        c_b = context_df.filter(batch_filter("conv_id", 4, b))
+        f, e, meta = extract_features(spark, t_b, c_b)
+        io.append(spark, f, "features", f"job1-b{b:04d}", extra_meta={"batch": b})
+        io.append(spark, e, "errors", f"job1-b{b:04d}")
+
+    summary = run_resumable(
+        spark, transcripts_df, context_df, io, job_id="job1", n_batches=4
+    )
+    statuses = {x["batch"]: x["status"] for x in summary["batches"]}
+    assert statuses == {0: "skipped", 1: "skipped", 2: "committed", 3: "committed"}
+
+    # exactly-once: committed rows == one-shot pipeline rows
+    expected = transcripts_df.count()  # clean generator input → no quarantine
+    got = io.read(spark, "features").count()
+    assert got == expected == summary["total_rows"]
+    # no duplicate (conv_id, ts, turn_idx) keys
+    assert (
+        io.read(spark, "features").select("conv_id", "ts", "turn_idx").distinct().count()
+        == expected
+    )
+
+    # re-running the finished job is a full no-op
+    again = run_resumable(
+        spark, transcripts_df, context_df, io, job_id="job1", n_batches=4
+    )
+    assert all(x["status"] == "skipped" for x in again["batches"])
+    assert io.read(spark, "features").count() == expected
+
+
+def test_orphan_staging_invisible(spark, transcripts_df, io):
+    # a crashed run leaves staged data but no manifest → readers never see it
+    staged = os.path.join(io.root, "features", "data", "snap=deadbeef")
+    transcripts_df.limit(5).write.mode("overwrite").parquet(staged)
+    with pytest.raises(FileNotFoundError):
+        io.read(spark, "features")
+
+
+def test_manifest_metrics_match_data(spark, transcripts_df, io):
+    m = io.append(spark, transcripts_df, "raw", "run-a", ts_col="ts")
+    assert m["total_rows"] == transcripts_df.count()
+    assert m["n_files"] == len(m["files"]) > 0
+    assert m["total_bytes"] > 0 and all(f["bytes"] > 0 for f in m["files"])
+    # per-file watermarks bound the global watermark
+    lo = min(f["watermark_lo"] for f in m["files"])
+    hi = max(f["watermark_hi"] for f in m["files"])
+    row = transcripts_df.selectExpr(
+        "cast(min(ts) as string) lo", "cast(max(ts) as string) hi"
+    ).first()
+    assert lo == row["lo"] and hi == row["hi"]
+    # idempotent re-append: same manifest, no extra snapshot
+    m2 = io.append(spark, transcripts_df, "raw", "run-a", ts_col="ts")
+    assert m2["total_rows"] == m["total_rows"]
+    assert io.committed_runs("raw") == ["run-a"]
