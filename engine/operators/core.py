@@ -53,17 +53,33 @@ def sessionize(
 ) -> DataFrame:
     """ts-gap sessionization: new session iff gap to previous row
     strictly exceeds gap_s. 0-based session id per entity; optional
-    1-based row sequence within session."""
+    1-based row sequence within session.
+
+    Every expression runs over the ONE (entity)×(ts, idx) window the
+    whole pipeline shares — sess_seq is derived as
+    row_number − row_number-at-session-start + 1 instead of a
+    row_number over (entity, session), which would force a second sort
+    per partition (measurably expensive at scale)."""
     w = entity_window(entity, ts, idx)
     cum = cum_frame(entity, ts, idx)
     sec = ts_seconds(ts)
     gap = sec - F.lag(sec).over(w)
-    new_sess = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
-    df = df.withColumn(session_col, (F.sum(new_sess).over(cum) - F.lit(1)).cast("int"))
+    df = df.withColumn(
+        "_new_sess",
+        F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0),
+    )
+    df = df.withColumn(
+        session_col, (F.sum("_new_sess").over(cum) - F.lit(1)).cast("int")
+    )
     if seq_col:
-        ws = Window.partitionBy(entity, session_col).orderBy(*order_cols(ts, idx))
-        df = df.withColumn(seq_col, F.row_number().over(ws))
-    return df
+        df = df.withColumn("_rn", F.row_number().over(w))
+        start_rn = F.last(
+            F.when(F.col("_new_sess") == 1, F.col("_rn")), ignorenulls=True
+        ).over(cum)
+        df = df.withColumn(seq_col, (F.col("_rn") - start_rn + 1).cast("int")).drop(
+            "_rn"
+        )
+    return df.drop("_new_sess")
 
 
 def ffill(

@@ -63,12 +63,19 @@ def add_sessionization(df: DataFrame, gap_s: float = SESSION_GAP_S) -> DataFrame
     df = core.sessionize(
         df, ENTITY, TS, IDX, gap_s, session_col="session_id", seq_col="sess_turn_no"
     )
-    ws_cum = Window.partitionBy(ENTITY, "session_id").orderBy(*turn_order()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return df.withColumn(
-        "sess_len_so_far",
-        F.sum(F.coalesce(F.col("txt_len"), F.lit(0)).cast("long")).over(ws_cum),
+    # Running text length within session, derived over the SAME conv
+    # window (cumulative-minus-base) — a window over (conv, session)
+    # would force a second per-partition sort.
+    cum = core.cum_frame(ENTITY, TS, IDX)
+    len0 = F.coalesce(F.col("txt_len"), F.lit(0)).cast("long")
+    cum_len = F.sum(len0).over(cum)
+    df = df.withColumn("_cum_len", cum_len)
+    base = F.last(
+        F.when(F.col("sess_turn_no") == 1, F.col("_cum_len") - len0),
+        ignorenulls=True,
+    ).over(cum)
+    return df.withColumn("sess_len_so_far", F.col("_cum_len") - base).drop(
+        "_cum_len"
     )
 
 

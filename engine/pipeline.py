@@ -113,7 +113,7 @@ def extract_features(
         good = good.withColumn("asof_ctx_value", F.lit(None).cast("double"))
         good = good.withColumn("asof_ctx_label", F.lit(None).cast("string"))
 
-    good = add_top_tools_expanding(good)
+    good = add_top_tools_expanding(good, assume_partitioned=True)
 
     features = good.select(*[f.name for f in FEATURE_SCHEMA.fields])
     meta = {

@@ -45,3 +45,21 @@ def test_final_topk_matches_pandas(spark, transcripts_df, transcripts_pdf):
         got.astype({"tool_count": "int64", "rank": "int64"}),
         exp.astype({"tool_count": "int64", "rank": "int64"}),
     )
+
+
+def test_stream_equals_grouped_strategy(spark, transcripts_df):
+    """Differential: the mapInPandas stream kernel must agree with the
+    per-group applyInPandas kernel on every row."""
+    from engine.pipeline import add_text_features
+    from engine.operators.topk import add_top_tools_expanding
+
+    base = add_text_features(transcripts_df)
+    a = add_top_tools_expanding(base, strategy="stream").select(
+        "conv_id", "ts", "turn_idx", "top_tools"
+    )
+    b = add_top_tools_expanding(base, strategy="grouped").select(
+        "conv_id", "ts", "turn_idx", "top_tools"
+    )
+    pa = a.toPandas().sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    pb = b.toPandas().sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    assert pa["top_tools"].map(list).equals(pb["top_tools"].map(list))
