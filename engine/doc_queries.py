@@ -168,6 +168,89 @@ FROM documents
 """
 
 
+def q_doc_regex_extract(spark, sf_dir):
+    """Regex extraction family (SURVEY §2.8 X8/X9/X10): first-group
+    extract, find-all count, and markdown-ish strip-chain."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"\b(s\w+)\b", 1).alias("first_s_word"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\b\w*a\w*\b"), F.lit(0))).alias(
+            "n_a_words"
+        ),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("text", r"\b(the|a|of)\b", ""), r"\s+", " "
+            )
+        ).alias("stripped"),
+    )
+
+
+SQL_DOC_REGEX_EXTRACT = r"""
+SELECT doc_id,
+       coalesce(regexp_extract(text, '\b(s\w+)\b', 1), '') AS first_s_word,
+       len(regexp_extract_all(text, '\b\w*a\w*\b')) AS n_a_words,
+       trim(regexp_replace(regexp_replace(text, '\b(the|a|of)\b', '', 'g'),
+                           '\s+', ' ', 'g')) AS stripped
+FROM documents
+"""
+
+
+def q_topk_padded(spark, sf_dir):
+    """Per-entity top-k as a fixed-arity list (W6 slice + W7 pad):
+    top-3 event types by count, padded by repeating the last element —
+    the reference's accent-palette contract (color_extractor.py:261-269)."""
+    from engine.operators.core import topk_by_count
+
+    ev = _t(spark, sf_dir, "events")
+    ranked = topk_by_count(ev, "user_id", "event_type", 3)
+    arr = (
+        ranked.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rank", "event_type"))
+            ).alias("_ranked")
+        )
+        .select(
+            "user_id",
+            F.transform("_ranked", lambda x: x.event_type).alias("_top"),
+        )
+    )
+    padded = F.when(F.size("_top") == 0, F.col("_top")).otherwise(
+        F.slice(
+            F.concat(
+                F.col("_top"),
+                F.array_repeat(F.element_at("_top", -1), 3),
+            ),
+            1,
+            3,
+        )
+    )
+    return arr.select(
+        "user_id", F.array_join(padded, ",").alias("top3_padded")
+    )
+
+
+SQL_TOPK_PADDED = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+), r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type ASC) AS rnk
+  FROM c
+), arr AS (
+  SELECT user_id, list(event_type ORDER BY rnk) AS top
+  FROM r WHERE rnk <= 3 GROUP BY user_id
+)
+SELECT user_id,
+       array_to_string(CASE WHEN len(top) = 0 THEN top
+            ELSE (top || [top[-1], top[-1], top[-1]])[1:3] END, ',') AS top3_padded
+FROM arr
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -418,6 +501,8 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_regex_extract": q_doc_regex_extract,
+    "topk_padded": q_topk_padded,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_near_pairs": q_dedup_near_pairs,
@@ -433,6 +518,8 @@ ORACLES = {
     "doc_quality": SQL_DOC_QUALITY,
     "doc_langid": SQL_DOC_LANGID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "doc_regex_extract": SQL_DOC_REGEX_EXTRACT,
+    "topk_padded": SQL_TOPK_PADDED,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
     "dedup_near_pairs": SQL_DEDUP_NEAR_PAIRS,

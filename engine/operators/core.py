@@ -50,10 +50,14 @@ def sessionize(
     gap_s: float,
     session_col: str = "session_id",
     seq_col: str | None = "sess_seq",
+    strict_boundary: bool = False,
 ) -> DataFrame:
     """ts-gap sessionization: new session iff gap to previous row
-    strictly exceeds gap_s. 0-based session id per entity; optional
-    1-based row sequence within session.
+    strictly exceeds gap_s (default), or iff gap >= gap_s when
+    `strict_boundary` — the latter matches Structured Streaming's
+    `session_window` (end-exclusive window [start, last+gap)).
+    0-based session id per entity; optional 1-based row sequence
+    within session.
 
     Every expression runs over the ONE (entity)×(ts, idx) window the
     whole pipeline shares — sess_seq is derived as
@@ -64,9 +68,10 @@ def sessionize(
     cum = cum_frame(entity, ts, idx)
     sec = ts_seconds(ts)
     gap = sec - F.lag(sec).over(w)
+    breaks = (gap >= gap_s) if strict_boundary else (gap > gap_s)
     df = df.withColumn(
         "_new_sess",
-        F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0),
+        F.when(gap.isNull() | breaks, 1).otherwise(0),
     )
     df = df.withColumn(
         session_col, (F.sum("_new_sess").over(cum) - F.lit(1)).cast("int")

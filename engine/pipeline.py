@@ -95,10 +95,17 @@ def extract_features(
     """
     t0 = time.time()
     good, errors = split_quarantine(transcripts)
-    good = add_text_features(good)
 
+    # Shuffle FIRST, text kernel AFTER: the scan's parallelism is
+    # whatever the file layout dictates (a 24-small-file input coalesces
+    # to 1-2 scan tasks under maxPartitionBytes/openCost binning, which
+    # would run the Python text kernel nearly serially — measured as a
+    # hard ~16 s floor at 1.5M rows). After the conv_id repartition the
+    # kernel always runs at full shuffle-partition parallelism, and the
+    # shuffle itself moves less data (raw text only, no derived cols).
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     good = good.repartition(n_part, "conv_id")
+    good = add_text_features(good)
 
     good = W.with_ts_sec(good)
     good = W.add_lag_lead(good)

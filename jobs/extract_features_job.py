@@ -1,0 +1,87 @@
+"""spark-submit entrypoint for the transcript feature-engineering job.
+
+Cluster usage (the north-rule deployment shape):
+
+    python scripts/package.py                         # → dist/engine.zip
+    spark-submit --py-files dist/engine.zip \\
+        jobs/extract_features_job.py \\
+        --input  <parquet dir or table of transcripts> \\
+        --context <parquet dir of context events>      \\
+        --warehouse <output root>                      \\
+        --job-id nightly-2026-08-16 --batches 64
+
+Local smoke (this sandbox):
+
+    PYTHONPATH=/root/repo python jobs/extract_features_job.py \\
+        --generate 50000 --warehouse /tmp/ft_wh --job-id smoke --batches 4
+
+The job is resumable: re-submitting with the same --job-id after a
+failure skips committed batches (engine/runner.py). On a cluster, set
+--batches so one batch ≈ what the cluster comfortably re-runs on
+failure (10^12 turns / 64 batches ≈ 1.6×10^10 turns per commit).
+Master/executor topology comes from spark-submit, not from code.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="transcripts parquet path (or omit with --generate)")
+    ap.add_argument("--context", help="context-events parquet path")
+    ap.add_argument("--generate", type=int, default=0,
+                    help="synthesize N turns instead of reading --input (smoke)")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--job-id", required=True)
+    ap.add_argument("--batches", type=int, default=16)
+    ap.add_argument("--session-gap-s", type=float, default=None)
+    ap.add_argument("--roll-window-s", type=float, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from engine.runner import run_resumable
+    from engine.session import build_session
+    from engine.tableio import TableIO
+
+    # under spark-submit a session already exists with the cluster's
+    # master; standalone we build local[*]
+    active = SparkSession.getActiveSession()
+    spark = active or build_session(app_name=f"extract-features-{args.job_id}")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    if args.generate:
+        from engine.generate import generate_context_events, generate_transcripts
+        from engine.schema import CONTEXT_SCHEMA, TRANSCRIPT_SCHEMA
+
+        tp = generate_transcripts(n_convs=max(200, args.generate // 40), seed=42)
+        cp = generate_context_events(tp, seed=43)
+        transcripts = spark.createDataFrame(tp, TRANSCRIPT_SCHEMA)
+        context = spark.createDataFrame(cp, CONTEXT_SCHEMA)
+    else:
+        if not args.input:
+            ap.error("--input or --generate required")
+        transcripts = spark.read.parquet(args.input)
+        context = spark.read.parquet(args.context) if args.context else None
+
+    kwargs = {}
+    if args.session_gap_s is not None:
+        kwargs["session_gap_s"] = args.session_gap_s
+    if args.roll_window_s is not None:
+        kwargs["roll_window_s"] = args.roll_window_s
+
+    io = TableIO(args.warehouse)
+    summary = run_resumable(
+        spark, transcripts, context, io,
+        job_id=args.job_id, n_batches=args.batches, **kwargs,
+    )
+    json.dump(summary, sys.stdout)
+    print()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Structured Streaming variants agree with batch on the same rows
+(file source → availableNow trigger → memory sink)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from engine.schema import SESSION_GAP_S, TRANSCRIPT_SCHEMA
+from engine.streaming import stream_rolling_counts, stream_sessionize
+
+
+@pytest.fixture(scope="module")
+def stream_source(spark, transcripts_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "transcripts")
+    transcripts_df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_available_now(sdf, name):
+    # complete mode: append would withhold any window whose end the
+    # watermark never passes — with availableNow the FINAL session/
+    # window per key can never emit (no later event advances the
+    # watermark past it). Complete re-emits all state at the last
+    # trigger, which is exactly the full result for a bounded replay.
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return name
+
+
+def test_stream_sessionize_matches_batch(spark, transcripts_df, stream_source):
+    sdf = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_source)
+    out = stream_sessionize(sdf, gap_s=SESSION_GAP_S, watermark="0 seconds")
+    tbl = _run_available_now(out, "sess_stream")
+    got = spark.sql(f"SELECT * FROM {tbl}").toPandas()
+
+    # batch ground truth: session boundaries from the batch engine; the
+    # streaming session_window end = last ts + gap
+    from engine.operators.core import sessionize
+
+    # session_window is end-exclusive: a gap EXACTLY equal to the gap
+    # parameter starts a new session — strict_boundary replicates that
+    b = sessionize(
+        transcripts_df, "conv_id", "ts", "turn_idx", SESSION_GAP_S,
+        strict_boundary=True,
+    )
+    exp = (
+        b.groupBy("conv_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("total_text_len"),
+            F.count("tool").alias("n_tool_turns"),
+        )
+        .toPandas()
+    )
+    key = ["conv_id", "session_start"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = exp.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(exp_s)
+    for col in ["n_turns", "total_text_len", "n_tool_turns"]:
+        g = got_s[col].fillna(-1).astype(float).tolist()
+        e = exp_s[col].fillna(-1).astype(float).tolist()
+        assert g == e, col
+    assert got_s["conv_id"].tolist() == exp_s["conv_id"].tolist()
+
+
+def test_stream_rolling_counts_runs_and_sums(spark, transcripts_df, stream_source):
+    sdf = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_source)
+    out = stream_rolling_counts(sdf, window_s=300, slide_s=60, watermark="0 seconds")
+    tbl = _run_available_now(out, "roll_stream")
+    got = spark.sql(f"SELECT * FROM {tbl}")
+    n_rows = transcripts_df.count()
+    # every turn lands in exactly window/slide = 5 sliding windows
+    assert got.agg(F.sum("roll_cnt")).first()[0] == n_rows * 5
+    # window bounds are slide-aligned and 300 s wide
+    r = got.first()
+    assert (r["w_end"] - r["w_start"]).total_seconds() == 300
