@@ -26,13 +26,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _heavy(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read + round-robin repartition for compute-heavy per-row queries:
+    the test tables are single parquet files, so the scan is ONE task —
+    per-row md5/regex work would run serially without this. At real
+    scale the input has many files and this repartition is a no-op
+    cost-wise relative to the compute it parallelizes."""
+    df = _t(spark, sf_dir, name)
+    return df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
 
 def q_doc_token_stats(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish regex tokens."""
-    d = _t(spark, sf_dir, "documents")
+    d = _heavy(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         D.n_tokens_ws(F.col("text")).alias("n_tokens_ws"),
@@ -55,13 +65,26 @@ def q_doc_quality(spark, sf_dir):
     composite score + 3-way class bin (P11 analog)."""
     from engine.operators.core import bin_threshold
 
-    d = _t(spark, sf_dir, "documents")
-    score = D.quality_score(F.col("text"))
+    d = _heavy(spark, sf_dir, "documents")
+    # materialize each component once; the composite score is built
+    # from the materialized columns (inlining D.quality_score would
+    # re-tokenize the text per component)
+    d = (
+        d.withColumn("_punct", D.punct_ratio(F.col("text")))
+        .withColumn("_sw", D.stopword_ratio(F.col("text")))
+        .withColumn("_mwl", D.mean_word_len(F.col("text")))
+        .withColumn("_nt", D.n_tokens_ws(F.col("text")))
+    )
+    score = (
+        0.4 * F.least(F.col("_nt") / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.lit(1.0) - F.least(F.col("_punct"), F.lit(1.0)))
+        + 0.3 * F.least(F.col("_sw") * 5.0, F.lit(1.0))
+    )
     return d.select(
         "doc_id",
-        F.round(D.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-        F.round(D.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
-        F.round(D.mean_word_len(F.col("text")), 6).alias("mean_word_len"),
+        F.round("_punct", 6).alias("punct_ratio"),
+        F.round("_sw", 6).alias("stopword_ratio"),
+        F.round("_mwl", 6).alias("mean_word_len"),
         F.round(score, 6).alias("quality"),
         bin_threshold(score, 0.7, 0.5, ("high", "medium", "low")).alias(
             "quality_class"
@@ -111,7 +134,7 @@ FROM s
 
 def q_doc_langid(spark, sf_dir):
     """Stopword-marker language-ID heuristic + per-language hit counts."""
-    d = _t(spark, sf_dir, "documents")
+    d = _heavy(spark, sf_dir, "documents")
     cols = [F.col("doc_id")]
     for lang, score in D.langid_scores(F.col("text")):
         cols.append(score.alias(f"{lang}_hits"))
@@ -149,11 +172,14 @@ FROM h
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: exact (md5 of normalized text) and
     rolling-hash (min over 8-char window hashes)."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        D.content_fingerprint(F.col("text")).alias("fp_exact"),
-        D.rolling_fingerprint("text", k=8).alias("fp_rolling"),
+    d = _heavy(spark, sf_dir, "documents")
+    return (
+        d.withColumn("_norm", D.normalize_text(F.col("text")))
+        .select(
+            "doc_id",
+            F.md5("_norm").alias("fp_exact"),
+            D.rolling_fingerprint_over_norm("_norm", k=8).alias("fp_rolling"),
+        )
     )
 
 
@@ -171,7 +197,7 @@ FROM documents
 def q_doc_regex_extract(spark, sf_dir):
     """Regex extraction family (SURVEY §2.8 X8/X9/X10): first-group
     extract, find-all count, and markdown-ish strip-chain."""
-    d = _t(spark, sf_dir, "documents")
+    d = _heavy(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.regexp_extract("text", r"\b(s\w+)\b", 1).alias("first_s_word"),
@@ -270,7 +296,7 @@ FROM documents GROUP BY 1
 
 def q_dedup_minhash_sig(spark, sf_dir):
     """Per-doc MinHash signature (8 hashes over word 3-gram shingles)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _heavy(spark, sf_dir, "documents")
     sigs = DD.minhash_signature(d, num_hashes=8, shingle_n=3)
     return sigs.select("doc_id", *[f"sig_{h}" for h in range(8)])
 
@@ -299,7 +325,7 @@ FROM s WHERE len(shingles) > 0
 
 def q_dedup_near_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs, Jaccard-verified at 0.2."""
-    d = _t(spark, sf_dir, "documents")
+    d = _heavy(spark, sf_dir, "documents")
     return DD.verified_near_dups(d, num_hashes=8, bands=4, threshold=0.2)
 
 
@@ -337,7 +363,7 @@ WHERE len(list_intersect(sa.shingles, sb.shingles))
 
 
 def q_dedup_simhash(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _heavy(spark, sf_dir, "documents")
     return DD.simhash16(d)
 
 
@@ -470,7 +496,7 @@ def q_multimodal_meta(spark, sf_dir):
     decode/feature-extract (stubbed codec, real plumbing)."""
     from engine.multimodal import extract_media_meta, synthesize_media
 
-    d = _t(spark, sf_dir, "documents")
+    d = _heavy(spark, sf_dir, "documents")
     return extract_media_meta(synthesize_media(d))
 
 

@@ -73,16 +73,21 @@ def _sql_norm(col_name: str) -> str:
     return f"lower(trim(regexp_replace({col_name}, '\\\\s+', ' ')))"
 
 
-def rolling_fingerprint(col_name: str = "text", k: int = 8) -> Column:
+def rolling_fingerprint_over_norm(norm_col: str, k: int = 8) -> Column:
     """Rolling-hash document fingerprint: the minimum hash over all
-    k-char windows of the normalized text (a 1-hash MinHash over char
-    k-grams — robust to local edits, unlike the exact fingerprint).
-    Null when the normalized text is shorter than k chars."""
-    norm = _sql_norm(col_name)
+    k-char windows of an ALREADY-NORMALIZED text column (a 1-hash
+    MinHash over char k-grams — robust to local edits, unlike the
+    exact fingerprint). Null when shorter than k chars.
+
+    PERF CONTRACT: pass a materialized column (`withColumn(norm_col,
+    normalize_text(...))` first), never an expression — an inlined
+    normalization would re-run lower/trim/regexp_replace once per
+    window inside the lambda (O(n²) per document; measured 15 s for
+    5k docs vs <1 s materialized)."""
     return F.expr(
-        f"CASE WHEN length({norm}) >= {k} THEN "
-        f"array_min(transform(sequence(1, length({norm}) - {k - 1}), "
-        f"i -> md5(substr({norm}, i, {k})))) END"
+        f"CASE WHEN length({norm_col}) >= {k} THEN "
+        f"array_min(transform(sequence(1, length({norm_col}) - {k - 1}), "
+        f"i -> md5(substr({norm_col}, i, {k})))) END"
     )
 
 

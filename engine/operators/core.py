@@ -110,18 +110,27 @@ def rolling_range(
     ts: str,
     window_s: int,
     aggs: dict[str, Column],
+    order_col: str | None = None,
 ) -> DataFrame:
     """Event-time RANGE frame [ts - window_s, ts] (inclusive, with
     ts-peers — the `ts' <= ts` leakage rule). `aggs` maps output column
-    name → aggregate expression; each is evaluated `.over` the frame."""
+    name → aggregate expression.
+
+    All aggregates are evaluated over ONE window spec in ONE select:
+    adding them via separate withColumn calls creates per-agg copies of
+    the order expression, which Catalyst cannot unify — the plan then
+    carries one Sort per aggregate (measured: 3 extra per-partition
+    sorts in the flagship pipeline). Pass `order_col` when the epoch-
+    seconds column is already materialized upstream."""
+    order = F.col(order_col) if order_col else ts_seconds(ts)
     wr = (
         Window.partitionBy(entity)
-        .orderBy(ts_seconds(ts))
+        .orderBy(order)
         .rangeBetween(-int(window_s), Window.currentRow)
     )
-    for out, expr in aggs.items():
-        df = df.withColumn(out, expr.over(wr))
-    return df
+    return df.select(
+        "*", *[expr.over(wr).alias(out) for out, expr in aggs.items()]
+    )
 
 
 def dedup_first(df: DataFrame, keys: list[str], ts: str, idx: str) -> DataFrame:

@@ -121,7 +121,9 @@ def add_rolling(
             else F.collect_list("tool")
         ),
     }
-    df = core.rolling_range(df, ENTITY, TS, int(window_s), aggs)
+    # order by the already-materialized epoch-seconds column so the
+    # rolling window's sort key unifies with one Sort node
+    df = core.rolling_range(df, ENTITY, TS, int(window_s), aggs, order_col=TS_SEC)
     distinct = (
         F.col("_roll_tools")
         if approx_distinct

@@ -86,6 +86,7 @@ def extract_features(
     roll_window_s: float = ROLL_WINDOW_S,
     asof_strategy: str = "jvm",
     num_partitions: int | None = None,
+    repartition_before_text: bool | None = None,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Return (features, errors, run_meta).
 
@@ -96,15 +97,26 @@ def extract_features(
     t0 = time.time()
     good, errors = split_quarantine(transcripts)
 
-    # Shuffle FIRST, text kernel AFTER: the scan's parallelism is
-    # whatever the file layout dictates (a 24-small-file input coalesces
-    # to 1-2 scan tasks under maxPartitionBytes/openCost binning, which
-    # would run the Python text kernel nearly serially — measured as a
-    # hard ~16 s floor at 1.5M rows). After the conv_id repartition the
-    # kernel always runs at full shuffle-partition parallelism, and the
-    # shuffle itself moves less data (raw text only, no derived cols).
+    # Shuffle placement vs the Arrow text kernel — adaptive, because
+    # Spark's Python-eval nodes do not advertise output partitioning,
+    # so `repartition → UDF → window` plans TWO exchanges even though
+    # the rows never move between them (verified on the physical plan):
+    #
+    # - wide input (normal at scale: one task per ~128 MB split): run
+    #   the kernel at scan parallelism and let the window's
+    #   ENSURE_REQUIREMENTS exchange be the ONLY shuffle of the pass —
+    #   at 100 TB a second full-width shuffle would roughly double the
+    #   dominant cost;
+    # - narrow input (few/small files — scan coalesces to 1-2 tasks,
+    #   which would run the kernel serially; measured a hard ~16 s
+    #   floor at 1.5M rows): repartition FIRST and accept the extra
+    #   exchange — kernel parallelism dominates locally.
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    good = good.repartition(n_part, "conv_id")
+    if repartition_before_text is None:
+        scan_parts = good.rdd.getNumPartitions()
+        repartition_before_text = scan_parts < max(2, n_part // 2)
+    if repartition_before_text:
+        good = good.repartition(n_part, "conv_id")
     good = add_text_features(good)
 
     good = W.with_ts_sec(good)
@@ -129,6 +141,7 @@ def extract_features(
         "roll_window_s": roll_window_s,
         "asof_strategy": asof_strategy,
         "num_partitions": n_part,
+        "repartition_before_text": repartition_before_text,
         "planned_at_epoch_s": t0,
     }
     return features, errors, meta
