@@ -50,7 +50,12 @@ def run_once(cores: int, tpath: str, cpath: str, shuffle: int = 32,
     best = float("inf")
     times = []
     for _ in range(reps):
-        f, _, _ = extract_features(spark, t, c)
+        # repartition-first plan: both Python stages run at exactly
+        # shuffle-partition parallelism at EITHER core count, so the
+        # N-vs-4N comparison isolates CPU scaling from scan-layout
+        # artifacts (the adaptive default optimizes absolute speed,
+        # not scaling symmetry; BENCH.md reports both)
+        f, _, _ = extract_features(spark, t, c, repartition_before_text=True)
         t0 = time.time()
         f.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
@@ -72,6 +77,7 @@ def main() -> None:
                     "(16 physical cores + SMT + hypervisor steal), so the "
                     "honest N-vs-4N window on this host is 2 vs 8.")
     ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--shuffle", type=int, default=32)
     args = ap.parse_args()
 
     # materialize the input once (outside every timer) via bench helper
@@ -92,7 +98,7 @@ def main() -> None:
     best: dict[int, dict] = {}
     for _ in range(args.rounds):
         for cores in (n_lo, n_hi):
-            r = run_once(cores, tpath, cpath, reps=1)
+            r = run_once(cores, tpath, cpath, shuffle=args.shuffle, reps=1)
             if cores not in best or r["seconds"] < best[cores]["seconds"]:
                 prev = best.get(cores, {}).get("all_runs_s", [])
                 best[cores] = r

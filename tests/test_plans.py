@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the optimizations the engine relies
+on at 100 TB must be visible in the plan — predicate pushdown reaching
+the scan, column pruning, broadcast joins for small dims, and the
+flagship's bounded exchange/sort counts (explain-only; no jobs run)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from engine.queries import q_pricing_summary
+
+    plan = _formatted(spark, q_pricing_summary(spark, SF))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_shipdate" in m.group(1), "date filter must push into the scan"
+
+
+def test_column_pruning(spark):
+    from engine.doc_queries import q_doc_token_stats
+
+    plan = _formatted(spark, q_doc_token_stats(spark, SF))
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m, plan
+    schema = m.group(1)
+    assert "text" in schema and "doc_id" in schema
+    # untouched columns must NOT be read
+    assert "lang" not in schema and "source" not in schema
+
+
+def test_broadcast_join_for_small_dims(spark):
+    from engine.queries import q_top_customers
+
+    plan = _formatted(spark, q_top_customers(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, "both dim joins must broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_plan_shape(spark, transcripts_df, context_df):
+    from engine.pipeline import extract_features
+
+    f, _e, _m = extract_features(
+        spark, transcripts_df, context_df, repartition_before_text=False
+    )
+    plan = _formatted(spark, f)
+    nodes = re.findall(
+        r"\(\d+\) (Exchange|Sort|ArrowEvalPython|MapInPandas)\b", plan
+    )
+    counts = {k: nodes.count(k) for k in set(nodes)}
+    # single-shuffle path: window exchange + as-of union exchange only
+    assert counts.get("Exchange", 0) <= 2, counts
+    # one sort per distinct ordering: window chain, rolling (ts_sec),
+    # as-of union tag, top-k local sort
+    assert counts.get("Sort", 0) <= 4, counts
+    # exactly two Python stages: text kernel + streaming top-k
+    assert counts.get("ArrowEvalPython", 0) == 1
+    assert counts.get("MapInPandas", 0) == 1
+
+
+def test_asof_probe_filter_prunes_columns(spark):
+    from engine.queries import q_asof_purchase
+
+    plan = _formatted(spark, q_asof_purchase(spark, SF))
+    # both scans of events must push the event_type filter
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("event_type" in p for p in pushed), pushed
