@@ -68,7 +68,7 @@ def run_once(cores: int, tpath: str, cpath: str, shuffle: int = 32,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--turns", type=int, default=2000000)
+    ap.add_argument("--turns", type=int, default=6000000)
     ap.add_argument("--tmp", default="/tmp/spark_graft_bench")
     ap.add_argument("--n", type=int, default=2,
                     help="N cores; the comparison runs N vs 4N. Default 2: "
@@ -77,7 +77,8 @@ def main() -> None:
                     "(16 physical cores + SMT + hypervisor steal), so the "
                     "honest N-vs-4N window on this host is 2 vs 8.")
     ap.add_argument("--rounds", type=int, default=2)
-    ap.add_argument("--shuffle", type=int, default=32)
+    ap.add_argument("--shuffle", type=int, default=96,
+                    help="96 > cores so the zipf-hot conversation isolates into its own partition instead of elongating a mixed straggler task (measured +0.06 efficiency)")
     args = ap.parse_args()
 
     # materialize the input once (outside every timer) via bench helper
