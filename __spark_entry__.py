@@ -47,6 +47,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ffill": Q.q_ffill,
         "rolling": Q.q_rolling,
         "asof_purchase": Q.q_asof_purchase,
+        "asof_purchase_kernel": Q.q_asof_purchase_kernel,
+        "rollup_revenue": Q.q_rollup_revenue,
+        "value_percentiles": Q.q_value_percentiles,
+        "embed_centroid": Q.q_embed_centroid,
         "topk_event_types": Q.q_topk_event_types,
         "session_assembly": Q.q_session_assembly,
         "dedup_first": Q.q_dedup_first,
@@ -71,6 +75,10 @@ def oracle_sql() -> dict[str, str]:
         "ffill": Q.SQL_FFILL,
         "rolling": Q.SQL_ROLLING,
         "asof_purchase": Q.SQL_ASOF_PURCHASE,
+        "asof_purchase_kernel": Q.SQL_ASOF_PURCHASE_KERNEL,
+        "rollup_revenue": Q.SQL_ROLLUP_REVENUE,
+        "value_percentiles": Q.SQL_VALUE_PERCENTILES,
+        "embed_centroid": Q.SQL_EMBED_CENTROID,
         "topk_event_types": Q.SQL_TOPK_EVENT_TYPES,
         "session_assembly": Q.SQL_SESSION_ASSEMBLY,
         "dedup_first": Q.SQL_DEDUP_FIRST,

@@ -522,6 +522,25 @@ FROM m
 """
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (sign-LSH blocked, cos >= 0.9)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_near_dups(e, threshold=0.9)
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH c AS (
+  SELECT vec_id, embedding, CASE WHEN embeddings.embedding[1] > 0 THEN 1 ELSE 0 END + CASE WHEN embeddings.embedding[2] > 0 THEN 2 ELSE 0 END + CASE WHEN embeddings.embedding[3] > 0 THEN 4 ELSE 0 END + CASE WHEN embeddings.embedding[4] > 0 THEN 8 ELSE 0 END + CASE WHEN embeddings.embedding[5] > 0 THEN 16 ELSE 0 END + CASE WHEN embeddings.embedding[6] > 0 THEN 32 ELSE 0 END + CASE WHEN embeddings.embedding[7] > 0 THEN 64 ELSE 0 END + CASE WHEN embeddings.embedding[8] > 0 THEN 128 ELSE 0 END AS code
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y))) AS cos
+  FROM c a JOIN c b ON a.code = b.code AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM p WHERE cos >= 0.9
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
@@ -536,6 +555,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embed_label_stats": q_embed_label_stats,
+    "dedup_embedding": q_dedup_embedding,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -553,5 +573,6 @@ ORACLES = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "embed_label_stats": SQL_EMBED_LABEL_STATS,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "multimodal_meta": SQL_MULTIMODAL_META,
 }

@@ -110,3 +110,37 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(probe_id, id_col, F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+def cosine_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share a
+    sign-LSH bucket (same blocking as lsh_topk — near-identical vectors
+    agree on every sign w.h.p.), then exact cosine filters at
+    `threshold`. Returns (id_a < id_b, cos). The self-join shuffles
+    only (code, id, vector); bucket sizes are ~|corpus|/2^bits."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), sign_code(F.col(vec_col), bits).alias("_code")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._code") == F.col("b._code"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    return (
+        pairs.withColumn(
+            "cos", cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )

@@ -473,3 +473,91 @@ SELECT CASE WHEN value < 0.0 THEN 'NEGATIVE_VALUE'
        COUNT(*) AS n
 FROM events GROUP BY 1
 """
+
+
+def q_asof_purchase_kernel(spark, sf_dir):
+    """Same as-of semantics as q_asof_purchase via the cogrouped
+    pd.merge_asof Arrow-kernel strategy — the driver differential-tests
+    both physical formulations against ONE SQL oracle."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    ctx = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("event_ts"),
+        F.col("event_id").alias("ctx_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        probe, ctx,
+        on="user_id", probe_ts="ts", probe_idx="event_id",
+        ctx_ts="event_ts", ctx_idx="ctx_id",
+        payload=["purchase_value"], prefix="asof_", strategy="kernel",
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.round("asof_purchase_value", 6).alias("asof_purchase_value"),
+    )
+
+
+SQL_ASOF_PURCHASE_KERNEL = SQL_ASOF_PURCHASE
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """Hierarchical ROLLUP aggregate (status → priority) — Spark's
+    rollup == ANSI GROUP BY ROLLUP; subtotal rows carry NULLs."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact continuous percentiles per event type (median + p90)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY event_type
+"""
+
+
+def q_embed_centroid(spark, sf_dir):
+    """Per-label element-wise centroid of the embedding column (first
+    4 dimensions) — posexplode + two-level avg, the distributed way to
+    reduce vectors without collecting them."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).filter(F.col("pos") < 4)
+    return ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v")
+    )
+
+
+SQL_EMBED_CENTROID = """
+SELECT label, CAST(i - 1 AS INT) AS pos,
+       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_v
+FROM embeddings, range(1, 5) r(i)
+GROUP BY label, i
+"""

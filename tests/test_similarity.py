@@ -89,3 +89,20 @@ def test_lsh_bucket_candidates_share_code(vectors):
     for p, n in per_probe.items():
         ranks = sorted(r["rank"] for r in got if r["probe_id"] == p)
         assert ranks == list(range(1, n + 1))
+
+
+def test_cosine_near_dups_planted(spark):
+    import numpy as np
+    from engine.operators.similarity import cosine_near_dups
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16).astype(np.float32)
+    near = (base + rng.normal(scale=0.01, size=16).astype(np.float32))
+    rows = [(0, [float(x) for x in base]),
+            (1, [float(x) for x in near]),
+            (2, [float(x) for x in rng.normal(size=16)])]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {(r["id_a"], r["id_b"]): r["cos"]
+           for r in cosine_near_dups(df, threshold=0.95, bits=8).collect()}
+    assert (0, 1) in got and got[(0, 1)] > 0.99
+    assert not any(2 in p for p in got)
