@@ -142,11 +142,18 @@ class TableIO:
         with open(self._manifest_path(table, run_id)) as fh:
             return json.load(fh)
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
+    def read(
+        self, spark: SparkSession, table: str, as_of: str | None = None
+    ) -> DataFrame:
         """Scan exactly the files of committed snapshots — orphaned
-        staging data from crashed runs is invisible."""
+        staging data from crashed runs is invisible.
+
+        `as_of`: time-travel (Iceberg snapshot-isolation analog) — read
+        only snapshots whose run_id sorts <= `as_of`."""
         files: list[str] = []
         for run_id in self.committed_runs(table):
+            if as_of is not None and run_id > as_of:
+                continue
             files += [e["file"] for e in self.read_manifest(table, run_id)["files"]]
         if not files:
             raise FileNotFoundError(f"no committed snapshots for table {table!r}")

@@ -78,3 +78,12 @@ def test_manifest_metrics_match_data(spark, transcripts_df, io):
     m2 = io.append(spark, transcripts_df, "raw", "run-a", ts_col="ts")
     assert m2["total_rows"] == m["total_rows"]
     assert io.committed_runs("raw") == ["run-a"]
+
+
+def test_time_travel_read(spark, transcripts_df, io):
+    first = transcripts_df.limit(10)
+    second = transcripts_df.limit(25)
+    io.append(spark, first, "tt", "run-001")
+    io.append(spark, second, "tt", "run-002")
+    assert io.read(spark, "tt", as_of="run-001").count() == 10
+    assert io.read(spark, "tt").count() == 35
