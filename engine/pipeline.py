@@ -32,7 +32,7 @@ from engine.functions.text import (
 )
 from engine.operators.asof import asof_join
 from engine.operators.quality import split_quarantine
-from engine.operators.topk import add_top_tools_expanding
+from engine.operators.topk import add_top_tools_expanding, add_top_tools_vocab
 from engine.operators import windows as W
 from engine.schema import FEATURE_SCHEMA, ROLL_WINDOW_S, SESSION_GAP_S
 
@@ -132,7 +132,20 @@ def extract_features(
         good = good.withColumn("asof_ctx_value", F.lit(None).cast("double"))
         good = good.withColumn("asof_ctx_label", F.lit(None).cast("string"))
 
-    good = add_top_tools_expanding(good, assume_partitioned=True)
+    # expanding top-k: pure-codegen vocab formulation when the tool
+    # vocabulary is small (the normal case — agent toolsets are bounded;
+    # costs one tiny distinct job up front, saves the ~9-13 s Arrow IPC
+    # round-trip of the wide rows); streaming Arrow kernel otherwise
+    vocab = [
+        r["tool"]
+        for r in good.filter(
+            F.col("tool").isNotNull() & (F.col("tool") != "")
+        ).select("tool").distinct().limit(65).collect()
+    ]
+    if len(vocab) <= 64:
+        good = add_top_tools_vocab(good, vocab=vocab)
+    else:
+        good = add_top_tools_expanding(good, assume_partitioned=True)
 
     features = good.select(*[f.name for f in FEATURE_SCHEMA.fields])
     meta = {

@@ -60,11 +60,12 @@ def test_flagship_plan_shape(spark, transcripts_df, context_df):
     # single-shuffle path: window exchange + as-of union exchange only
     assert counts.get("Exchange", 0) <= 2, counts
     # one sort per distinct ordering: window chain, rolling (ts_sec),
-    # as-of union tag, top-k local sort
+    # as-of union tag, and the final output ordering
     assert counts.get("Sort", 0) <= 4, counts
-    # exactly two Python stages: text kernel + streaming top-k
+    # exactly ONE Python stage (the text kernel): the expanding top-k
+    # runs as the pure-codegen vocab formulation, no kernel at all
     assert counts.get("ArrowEvalPython", 0) == 1
-    assert counts.get("MapInPandas", 0) == 1
+    assert counts.get("MapInPandas", 0) == 0
 
 
 def test_asof_probe_filter_prunes_columns(spark):

@@ -63,3 +63,19 @@ def test_stream_equals_grouped_strategy(spark, transcripts_df):
     pa = a.toPandas().sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
     pb = b.toPandas().sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
     assert pa["top_tools"].map(list).equals(pb["top_tools"].map(list))
+
+
+def test_vocab_equals_grouped_strategy(spark, transcripts_df):
+    """Differential: the pure-codegen vocab formulation must agree with
+    the per-group kernel on every row."""
+    from engine.pipeline import add_text_features
+    from engine.operators.topk import add_top_tools_expanding, add_top_tools_vocab
+
+    base = add_text_features(transcripts_df)
+    a = add_top_tools_vocab(base).select("conv_id", "ts", "turn_idx", "top_tools")
+    b = add_top_tools_expanding(base, strategy="grouped").select(
+        "conv_id", "ts", "turn_idx", "top_tools"
+    )
+    pa_ = a.toPandas().sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    pb = b.toPandas().sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    assert pa_["top_tools"].map(list).equals(pb["top_tools"].map(list))
