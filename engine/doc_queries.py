@@ -96,6 +96,7 @@ _SW = "', '".join(D.QUALITY_STOPWORDS)
 SQL_DOC_QUALITY = f"""
 WITH b AS (
   SELECT doc_id,
+         trim(text) = '' AS blank,
          length(text) AS n,
          length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,
          length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_space,
@@ -111,7 +112,9 @@ WITH b AS (
          CASE WHEN len(toks) > 0
               THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
               ELSE 0.0 END AS mean_word_len,
-         len(toks) AS n_toks
+         -- blank guard: string_split_regex('', ..) yields [''] (len 1)
+         -- in DuckDB while the engine's n_tokens_ws returns 0
+         CASE WHEN blank THEN 0 ELSE len(toks) END AS n_toks
   FROM b
 ), s AS (
   SELECT doc_id, punct_ratio, stopword_ratio, mean_word_len,

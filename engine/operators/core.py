@@ -128,8 +128,11 @@ def rolling_range(
         .orderBy(order)
         .rangeBetween(-int(window_s), Window.currentRow)
     )
+    # withColumn-style replace-on-collision: pre-existing columns whose
+    # names collide with aggs keys are dropped, not duplicated
+    keep = [c for c in df.columns if c not in aggs]
     return df.select(
-        "*", *[expr.over(wr).alias(out) for out, expr in aggs.items()]
+        *keep, *[expr.over(wr).alias(out) for out, expr in aggs.items()]
     )
 
 

@@ -137,6 +137,11 @@ def lsh_candidate_pairs(
     Returns distinct (id_a < id_b) pairs. The self-join shuffles only
     (band_idx, band_key, id); bucket sizes are O(1) w.h.p. so the join
     fan-out is bounded; AQE skew-join handles degenerate buckets."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing signature hashes would be silently ignored, weakening recall"
+        )
     rows = num_hashes // bands
     band_cols = [
         F.struct(

@@ -59,11 +59,17 @@ def run_resumable(
             else None
         )
         features, errors, meta = extract_features(spark, t_b, c_b, **pipeline_kwargs)
+        # Commit ORDER matters for exactly-once: the features manifest is
+        # the batch's commit point (resume gates on it above), so the
+        # errors snapshot must commit FIRST. A crash between the two
+        # commits then re-runs the batch (errors append is an idempotent
+        # no-op on its committed run_id) instead of skipping it and
+        # silently dropping the batch's error rows.
+        io.append(spark, errors, "errors", run_id, ts_col="ts")
         m = io.append(
             spark, features, "features", run_id, ts_col="ts",
             extra_meta={"pipeline": meta, "batch": b},
         )
-        io.append(spark, errors, "errors", run_id, ts_col="ts")
         summary["batches"].append(
             {"batch": b, "status": "committed", "rows": m["total_rows"]}
         )

@@ -31,6 +31,16 @@ def test_x5_punctuation_whitelist():
     assert clean_text_py("café…") == "café"
 
 
+def test_x5_empty_cleaned_line_dropped():
+    # a line the X5 whitelist reduces to '' is dropped entirely, not
+    # kept as an empty line (reference `if final_line:` semantics,
+    # text_extractor.py:333-336)
+    assert clean_text_py("hello\n@#$%^&*\nworld") == "hello\nworld"
+    assert clean_text_py("@#$") == ""
+    # a line that reduces to whitespace-only is truthy → kept
+    assert clean_text_py("@ #") == " "
+
+
 def test_null_and_empty():
     assert clean_text_py(None) is None
     assert clean_text_py("") == ""
