@@ -544,6 +544,80 @@ SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM p WHERE cos >= 0.9
 """
 
 
+def q_dedup_embedding_banded(spark, sf_dir):
+    """Multi-band sign-LSH embedding near-dups — the 100 TB blocking
+    scheme (4 bands x 16 sign bits, union of band matches; bucket size
+    O(n/2^16) per band vs O(n/256) for the single-code variant).
+
+    The test corpus has no natural near-dups (max pairwise cos ~0.51),
+    so the query plants them deterministically: each vec_id < 50 gains
+    a perturbed copy (id + 100000, x -> 0.9x + 0.01) at cos ~0.998 with
+    a few sign flips on near-zero dims — exercising the union-of-bands
+    recall path that a single full-width code would miss."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 0.9 + 0.01
+        ).alias("embedding"),
+    )
+    return SIM.cosine_near_dups_banded(
+        base.unionByName(pert), threshold=0.95, bands=4, bits_per_band=16
+    )
+
+
+def _band_code_sql(b: int, bits: int = 16) -> str:
+    return " + ".join(
+        f"CASE WHEN v[{b * bits + i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(bits)
+    )
+
+
+_DOT_VV_SQL = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> {a}[CAST(i AS INT)] * {b}[CAST(i AS INT)]), (x, y) -> x + y)"
+)
+
+
+def _cos_vv_sql(a: str, b: str) -> str:
+    dot = _DOT_VV_SQL.format(a=a, b=b)
+    na = f"sqrt({_DOT_VV_SQL.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT_VV_SQL.format(a=b, b=b)})"
+    return f"{dot} / ({na} * {nb})"
+
+
+SQL_DEDUP_EMBEDDING_BANDED = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.9 + 0.01)
+  FROM embeddings WHERE vec_id < 50
+), codes AS (
+  SELECT vec_id, band_idx,
+         CASE band_idx WHEN 0 THEN {_band_code_sql(0)}
+                       WHEN 1 THEN {_band_code_sql(1)}
+                       WHEN 2 THEN {_band_code_sql(2)}
+                       ELSE {_band_code_sql(3)} END AS code
+  FROM base, unnest([0, 1, 2, 3]) AS u(band_idx)
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM codes a JOIN codes b
+    ON a.band_idx = b.band_idx AND a.code = b.code AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT p.id_a, p.id_b, {_cos_vv_sql('va.v', 'vb.v')} AS cos
+  FROM pairs p
+  JOIN base va ON va.vec_id = p.id_a
+  JOIN base vb ON vb.vec_id = p.id_b
+)
+SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM scored WHERE cos >= 0.95
+"""
+
+
 QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
@@ -559,6 +633,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "embed_label_stats": q_embed_label_stats,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_banded": q_dedup_embedding_banded,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -577,5 +652,6 @@ ORACLES = {
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "embed_label_stats": SQL_EMBED_LABEL_STATS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "dedup_embedding_banded": SQL_DEDUP_EMBEDDING_BANDED,
     "multimodal_meta": SQL_MULTIMODAL_META,
 }

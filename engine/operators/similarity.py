@@ -112,6 +112,81 @@ def lsh_topk(
     )
 
 
+def band_sign_codes(arr: Column, bands: int = 4, bits_per_band: int = 16) -> Column:
+    """Array of (band_idx, code) structs: band b's code packs the sign
+    bits of dimensions [b*bits_per_band+1, (b+1)*bits_per_band].
+    Requires dim(arr) >= bands * bits_per_band."""
+    out = []
+    for b in range(bands):
+        code = None
+        for i in range(bits_per_band):
+            term = F.when(
+                F.element_at(arr, b * bits_per_band + i + 1) > 0, F.lit(1 << i)
+            ).otherwise(0)
+            code = term if code is None else code + term
+        out.append(
+            F.struct(F.lit(b).alias("band_idx"), code.cast("int").alias("code"))
+        )
+    return F.array(*out)
+
+
+def cosine_near_dups_banded(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 4,
+    bits_per_band: int = 16,
+) -> DataFrame:
+    """Multi-band sign-LSH embedding near-dup pairs — the 100 TB path.
+
+    Blocking: the vector's sign pattern is split into `bands` bands of
+    `bits_per_band` dimensions each; two vectors are candidates iff they
+    agree on EVERY sign of AT LEAST ONE band (union of band matches).
+    Near-identical vectors disagree only on dimensions near zero, so a
+    stray flipped sign kills at most the bands containing it — recall
+    stays high — while bucket sizes stay O(n / 2^bits_per_band) per
+    band (vs O(n / 2^bits) for a single short code, whose buckets grow
+    linearly with n and make the within-bucket self-join quadratic).
+
+    Shape: explode to (id, band_idx, code) — 3 small columns, `bands`
+    rows per vector; self-join on (band_idx, code); distinct pairs;
+    vectors re-joined only for the candidate set; exact cosine filters
+    at `threshold`. Returns (id_a < id_b, cos).
+    """
+    codes = corpus.select(
+        F.col(id_col),
+        F.explode(band_sign_codes(F.col(vec_col), bands, bits_per_band)).alias("bc"),
+    ).select(id_col, "bc.band_idx", "bc.code")
+    a, b = codes.alias("a"), codes.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    vecs = corpus.select(F.col(id_col), F.col(vec_col))
+    return (
+        pairs.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")),
+            "id_b",
+        )
+        .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
 def cosine_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -119,11 +194,11 @@ def cosine_near_dups(
     vec_col: str = "embedding",
     bits: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidates share a
-    sign-LSH bucket (same blocking as lsh_topk — near-identical vectors
-    agree on every sign w.h.p.), then exact cosine filters at
-    `threshold`. Returns (id_a < id_b, cos). The self-join shuffles
-    only (code, id, vector); bucket sizes are ~|corpus|/2^bits."""
+    """Embedding-cosine near-duplicate pairs blocked by a SINGLE short
+    sign code. Kept as the oracle-simple small-scale variant and the
+    differential baseline for `cosine_near_dups_banded` — at 100 TB use
+    the banded version: a single `bits`-wide code gives buckets of
+    ~n/2^bits, so this self-join is O(n²/2^bits) — quadratic in n."""
     c = corpus.select(
         F.col(id_col), F.col(vec_col), sign_code(F.col(vec_col), bits).alias("_code")
     )

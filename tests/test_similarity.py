@@ -91,6 +91,50 @@ def test_lsh_bucket_candidates_share_code(vectors):
         assert ranks == list(range(1, n + 1))
 
 
+def test_banded_near_dups_recall_and_bucket_bound(spark):
+    """The 100 TB blocking scheme: (a) finds planted near-dups even
+    when a near-zero dim flips sign (union-of-bands recall); (b) on a
+    corpus degenerate for the single-8-bit scheme (all vectors agree on
+    the first 8 signs → ONE bucket → O(n²) self-join), the banded
+    scheme's largest (band, code) bucket stays ~n/2^8 or smaller."""
+    from engine.operators.similarity import (
+        band_sign_codes,
+        cosine_near_dups_banded,
+        sign_code,
+    )
+
+    rng = np.random.default_rng(23)
+    n, dim = 2000, 64
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    mat[:, :8] = np.abs(mat[:, :8])  # degenerate: one 8-bit sign bucket
+    # plant a near-dup of vec 0 with a sign flip INSIDE band 1
+    # (dims 17-32): band 1 won't match, bands 0/2/3 still do
+    near = mat[0].copy()
+    near[20] = -1e-4 if near[20] > 0 else 1e-4
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    rows.append((n, [float(x) for x in near]))
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_near_dups_banded(df, threshold=0.95).collect()
+    }
+    assert (0, n) in got and got[(0, n)] > 0.99
+
+    # bucket-size bound: old scheme's max bucket is the whole corpus;
+    # banded max bucket is bounded by the 16-bit code spread
+    old_max = (
+        df.select(sign_code(F.col("embedding"), 8).alias("c"))
+        .groupBy("c").count().agg(F.max("count")).first()[0]
+    )
+    banded_max = (
+        df.select(F.explode(band_sign_codes(F.col("embedding"))).alias("bc"))
+        .groupBy("bc.band_idx", "bc.code").count().agg(F.max("count")).first()[0]
+    )
+    assert old_max == n + 1  # degenerate: single bucket, quadratic join
+    assert banded_max <= n // 50  # 2^16 codes over 8 free sign bits/band
+
+
 def test_cosine_near_dups_planted(spark):
     import numpy as np
     from engine.operators.similarity import cosine_near_dups
