@@ -544,6 +544,49 @@ SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM p WHERE cos >= 0.9
 """
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS: 64-bit chunked simhash, banded
+    Hamming join (pairs agreeing on >=1 of 4 16-bit chunks), verified
+    at Hamming distance <= 3. The <=3 bound makes the chunk blocking
+    exact-complete (pigeonhole), so the all-pairs DuckDB oracle is the
+    same result set."""
+    d = _heavy(spark, sf_dir, "documents")
+    return DD.simhash_near_pairs(d, max_hamming=3)
+
+
+_HEXES4_SQL = ", ".join(
+    f"CASE WHEN tok <> '' THEN CAST('0x' || substr(md5(tok), {4 * c + 1}, 4) AS INT) END AS h{c}"
+    for c in range(4)
+)
+_BITSUMS4_SQL = ", ".join(
+    f"SUM(CASE WHEN h{c} IS NULL THEN 0 WHEN (h{c} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{c}_{j}"
+    for c in range(4)
+    for j in range(16)
+)
+_SIMS4_SQL = ", ".join(
+    "CAST(CASE WHEN _n_tok > 0 THEN "
+    + " + ".join(f"CASE WHEN b{c}_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    + f" END AS INT) AS sim_{c}"
+    for c in range(4)
+)
+_HAM_SQL = " + ".join(f"bit_count(xor(a.sim_{c}, b.sim_{c}))" for c in range(4))
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS tok FROM documents
+), h AS (
+  SELECT doc_id, {_HEXES4_SQL} FROM toks
+), agg AS (
+  SELECT doc_id, {_BITSUMS4_SQL}, COUNT(h0) AS _n_tok FROM h GROUP BY doc_id
+), s AS (
+  SELECT doc_id, {_SIMS4_SQL} FROM agg WHERE _n_tok > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST({_HAM_SQL} AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE {_HAM_SQL} <= 3
+"""
+
+
 def q_dedup_embedding_banded(spark, sf_dir):
     """Multi-band sign-LSH embedding near-dups — the 100 TB blocking
     scheme (4 bands x 16 sign bits, union of band matches; bucket size
@@ -629,6 +672,7 @@ QUERIES = {
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_near_pairs": q_dedup_near_pairs,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embed_label_stats": q_embed_label_stats,
@@ -648,6 +692,7 @@ ORACLES = {
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
     "dedup_near_pairs": SQL_DEDUP_NEAR_PAIRS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "embed_label_stats": SQL_EMBED_LABEL_STATS,

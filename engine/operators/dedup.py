@@ -248,3 +248,123 @@ def simhash16(
         F.col(id_col),
         F.when(F.col("_n_tok") > 0, sim).cast("int").alias("simhash"),
     )
+
+
+def _exploded_distinct_tokens(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, tok) rows, one per distinct whitespace token; blank docs
+    keep a NULL tok row so every doc survives the aggregation."""
+    return df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash as FOUR independent 16-bit chunks (sim_0..sim_3):
+    chunk c's token hash is hex chars [4c+1, 4c+4] of md5(token) — 64
+    independent hash bits total, emitted chunked so the banded
+    Hamming-distance pair join (`simhash_near_pairs`) needs no 64-bit
+    unsigned arithmetic anywhere (portable to the DuckDB oracle).
+
+    One explode + one hash-agg keyed on id, partial map-side combine —
+    same scale shape as `simhash16`. Docs with no tokens → NULL chunks.
+    """
+    toks = _exploded_distinct_tokens(df, id_col, text_col)
+    nonblank = F.col("tok").isNotNull() & (F.col("tok") != "")
+    for c in range(4):
+        toks = toks.withColumn(
+            f"_h{c}",
+            F.when(
+                nonblank,
+                F.conv(F.substring(F.md5("tok"), 4 * c + 1, 4), 16, 10).cast("int"),
+            ),
+        )
+    bit_sums = [
+        F.sum(
+            F.when(F.col(f"_h{c}").isNull(), 0)
+            .when(F.shiftright(F.col(f"_h{c}"), j).bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{c}_{j}")
+        for c in range(4)
+        for j in range(16)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums, F.count("_h0").alias("_n_tok"))
+    out_cols = [F.col(id_col)]
+    for c in range(4):
+        sim = None
+        for j in range(16):
+            term = F.when(F.col(f"b{c}_{j}") > 0, F.lit(1 << j)).otherwise(0)
+            sim = term if sim is None else sim + term
+        out_cols.append(
+            F.when(F.col("_n_tok") > 0, sim).cast("int").alias(f"sim_{c}")
+        )
+    return agg.select(*out_cols)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash-based near-duplicate PAIRS — the banded Hamming join
+    that turns the signature into an actual dedup.
+
+    Pigeonhole guarantee: two 64-bit simhashes within Hamming distance
+    <= 3 agree EXACTLY on at least one of the 4 16-bit chunks, so a
+    bucketed self-join on (chunk_idx, chunk_value) finds every such
+    pair — no all-pairs comparison. Candidates are then verified with
+    the exact 64-bit Hamming distance (sum of per-chunk bit_count of
+    xor) and filtered at `max_hamming`. `max_hamming` > 3 weakens the
+    guarantee to recall < 1 (LSH-style); <= 3 is exact-complete.
+
+    Scale shape: the self-join shuffles only (chunk_idx, chunk_val,
+    id) — 3 ints; chunk buckets are O(n/2^16); verified Hamming runs
+    only on the candidate set via two hash joins on id.
+    """
+    sims = simhash64(df, id_col, text_col).filter(F.col("sim_0").isNotNull())
+    chunk_structs = F.array(
+        *[
+            F.struct(F.lit(c).alias("chunk_idx"), F.col(f"sim_{c}").alias("cv"))
+            for c in range(4)
+        ]
+    )
+    chunks = sims.select(
+        F.col(id_col), F.explode(chunk_structs).alias("ch")
+    ).select(id_col, "ch.chunk_idx", "ch.cv")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sims.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"sim_{c}").alias(f"_a{c}") for c in range(4)]
+    )
+    sb = sims.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"sim_{c}").alias(f"_b{c}") for c in range(4)]
+    )
+    hamming = None
+    for c in range(4):
+        term = F.bit_count(F.col(f"_a{c}").bitwiseXOR(F.col(f"_b{c}")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -96,3 +96,38 @@ def test_word_shingles_edge_cases(spark):
     assert got[1] == ["a b c", "b c d"]
     assert got[2] == []
     assert got[3] == []
+
+
+def test_simhash_near_pairs_complete_vs_bruteforce(docs, spark):
+    """Banded Hamming join is exact-complete at max_hamming <= 3:
+    result set == brute-force all-pairs filter on the same simhashes."""
+    from engine.operators.dedup import simhash64, simhash_near_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    # same token set -> hamming 0 (docs 1,2 identical; doc 3 differs by
+    # case, and tokens are case-sensitive here, so it is NOT hamming 0)
+    assert got[(1, 2)] == 0
+    sims = {
+        r["doc_id"]: (r["sim_0"], r["sim_1"], r["sim_2"], r["sim_3"])
+        for r in simhash64(docs).collect()
+    }
+    expect = {}
+    ids = sorted(sims)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(sims[a], sims[b]))
+            if ham <= 3:
+                expect[(a, b)] = ham
+    assert got == expect
+
+
+def test_simhash64_chunks_bounded(docs):
+    from engine.operators.dedup import simhash64
+
+    for r in simhash64(docs).collect():
+        for c in range(4):
+            v = r[f"sim_{c}"]
+            assert v is None or 0 <= v < (1 << 16)
