@@ -7,8 +7,15 @@ formulations that differential-test each other (SURVEY.md §7.3):
   strategy='jvm'    — union-tag + last(..., ignorenulls=True) over a
                       cumulative window. 100% JVM/codegen, one shuffle,
                       scales to arbitrarily hot keys. DEFAULT.
-  strategy='kernel' — cogrouped applyInPandas with pd.merge_asof per
-                      entity (sort-merge semantics, Arrow-batched).
+  strategy='kernel' — cogrouped applyInPandas with pd.merge_asof,
+                      BUCKETED: groups are hash buckets of the entity
+                      (many entities per Arrow frame, merged in one
+                      vectorized merge_asof(by=entity) call), not one
+                      group per entity — per-group pandas overhead was
+                      23× the jvm plan with per-entity groups. Hot
+                      entities are additionally SALTED into chunks
+                      (context replicated per chunk) so no single
+                      pandas frame ever holds a whole hot entity.
                       The model for "expensive external per-group
                       kernel" (reference analog: the per-item Tesseract
                       subprocess, text_extractor.py:88-106).
@@ -43,8 +50,17 @@ def asof_join(
     strict: bool = False,
     strategy: str = "jvm",
     prefix: str = "asof_",
+    kernel_buckets: int | None = None,
+    kernel_chunks: int = 4,
 ) -> DataFrame:
-    """As-of join probe ← context; appends `prefix`+payload columns."""
+    """As-of join probe ← context; appends `prefix`+payload columns.
+
+    kernel_buckets / kernel_chunks apply to strategy='kernel' only:
+    entities are hash-bucketed into `kernel_buckets` cogroups (default:
+    spark.sql.shuffle.partitions) and each entity's probe rows are
+    salted into `kernel_chunks` sub-groups with the context replicated
+    per chunk — bounding the largest pandas frame by ~rows/(buckets) and
+    a hot entity's share of it by 1/chunks."""
     if payload is None:
         payload = [
             c for c in context.columns if c not in (on, ctx_ts, ctx_idx)
@@ -53,7 +69,7 @@ def asof_join(
     if strategy == "jvm":
         return _asof_union_tag(*args)
     if strategy == "kernel":
-        return _asof_kernel(*args)
+        return _asof_kernel(*args, buckets=kernel_buckets, chunks=kernel_chunks)
     raise ValueError(f"unknown asof strategy: {strategy}")
 
 
@@ -134,36 +150,95 @@ def _asof_kernel(
     payload: list[str],
     strict: bool,
     prefix: str,
+    buckets: int | None = None,
+    chunks: int = 4,
 ) -> DataFrame:
+    """Bucketed + salted cogrouped merge_asof kernel.
+
+    Scale shape (fixes the two round-1 weaknesses of the per-entity
+    cogroup — 23× slowdown from per-group pandas overhead, and a whole
+    hot entity materialized in one pandas frame):
+
+    - Cogroup key #1 `_ab` = hash(entity) % buckets: MANY entities per
+      Arrow frame, merged by ONE vectorized `pd.merge_asof(by=entity)`
+      call — per-group overhead amortizes over the bucket, and the
+      frame size is ~|probe|/buckets regardless of entity count.
+    - Cogroup key #2 `_ac` (chunks > 1) = hash(probe_idx) % chunks:
+      a zipf-hot entity's probe rows split across `chunks` frames; the
+      context side is replicated to every chunk (each chunk still sees
+      the entity's full history — as-of needs arbitrarily old context).
+      Replication costs chunks× the CONTEXT rows only, the small side
+      of an as-of by construction.
+
+    Results are bit-identical to strategy='jvm' (differential-tested);
+    output row order is unspecified, as everywhere in the engine.
+    """
+    spark = probe.sparkSession
+    if buckets is None:
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
     out_names = [prefix + c for c in payload]
     out_schema = T.StructType(
         list(probe.schema.fields)
         + [T.StructField(prefix + c, context.schema[c].dataType) for c in payload]
     )
     probe_cols = probe.columns
-    rename = {c: prefix + c for c in payload}
 
-    def kernel(p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
-        p = p.sort_values([probe_ts, probe_idx], kind="mergesort")
-        if len(c) == 0:
-            for name, src in zip(out_names, payload):
-                p[name] = pd.Series(dtype=c[src].dtype if len(c) else "object")
-            return p[probe_cols + out_names]
+    # Alias every context column to a private name: when probe and
+    # context derive from the SAME source DataFrame (self-as-of), their
+    # key columns share Catalyst attribute ids and the cogroup plan
+    # deduplicates the right side's copy out of the Arrow frame —
+    # fresh aliases force fresh attribute ids so the kernel always
+    # receives them. Renamed back (metadata-only) inside the kernel.
+    ctx_cols = [on, ctx_ts, ctx_idx] + payload
+    rename = {f"_c_{on}": on, f"_c_{ctx_ts}": ctx_ts}
+    rename.update({f"_c_{c}": prefix + c for c in payload})
+    idx_priv = f"_c_{ctx_idx}"
+
+    p = probe.withColumn(
+        "_ab", F.pmod(F.xxhash64(F.col(on)), F.lit(buckets)).cast("int")
+    )
+    c_df = context.select(
+        *[F.col(c).alias(f"_c_{c}") for c in ctx_cols],
+        F.pmod(F.xxhash64(F.col(on)), F.lit(buckets)).cast("int").alias("_ab"),
+    )
+    if chunks > 1:
+        p = p.withColumn(
+            "_ac", F.pmod(F.xxhash64(F.col(probe_idx)), F.lit(chunks)).cast("int")
+        )
+        c_df = c_df.withColumn(
+            "_ac", F.explode(F.sequence(F.lit(0), F.lit(chunks - 1)))
+        )
+        keys = ["_ab", "_ac"]
+    else:
+        keys = ["_ab"]
+
+    def kernel(p_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        # merge_asof requires a global sort on the time key; the
+        # secondary idx keys make the order (and equal-ts tie-break)
+        # deterministic: sorted by (ctx_ts, ctx_idx), the LAST
+        # admissible context row per entity is the max (ctx_ts, ctx_idx)
+        p_pdf = p_pdf.sort_values([probe_ts, probe_idx], kind="mergesort")
+        if len(c_pdf) == 0:
+            for name in out_names:
+                p_pdf[name] = pd.Series(dtype="object")
+            return p_pdf[probe_cols + out_names]
         # sort so the last row among equal ctx_ts has max ctx_idx —
-        # merge_asof backward then selects exactly that row
-        c = c.sort_values([ctx_ts, ctx_idx], kind="mergesort")
+        # merge_asof backward then selects exactly that row per entity
+        c_pdf = c_pdf.rename(columns=rename)
+        c_pdf = c_pdf.sort_values([ctx_ts, idx_priv], kind="mergesort")
         merged = pd.merge_asof(
-            p,
-            c[[ctx_ts] + payload].rename(columns=rename),
+            p_pdf,
+            c_pdf[[on, ctx_ts] + out_names],
             left_on=probe_ts,
             right_on=ctx_ts,
+            by=on,
             direction="backward",
             allow_exact_matches=not strict,
         )
         return merged[probe_cols + out_names]
 
     return (
-        probe.groupBy(on)
-        .cogroup(context.groupBy(on))
+        p.groupBy(*keys)
+        .cogroup(c_df.groupBy(*keys))
         .applyInPandas(kernel, schema=out_schema)
     )

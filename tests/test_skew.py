@@ -49,3 +49,37 @@ def test_hot_entity_detector_finds_zipf_head(spark, transcripts_df):
     assert truly_hot <= got
     # and nothing tiny sneaks in
     assert all(exact[c] >= 0.003 for c in got)
+
+
+def test_kernel_asof_hot_entity_chunked(spark, transcripts_df, context_df):
+    """The bucketed+salted kernel as-of handles a planted hot
+    conversation: (a) results bit-identical to the jvm strategy, (b)
+    with chunks=c the hot entity's probe rows really are split across
+    c cogroups (no single pandas frame holds the whole entity)."""
+    from engine.operators.asof import asof_join
+
+    hot = transcripts_df.groupBy("conv_id").count().orderBy(
+        F.col("count").desc()).first()
+    args = dict(
+        on="conv_id", probe_ts="ts", probe_idx="turn_idx",
+        ctx_ts="event_ts", ctx_idx="event_idx",
+        payload=["ctx_value"], prefix="asof_",
+    )
+    jvm = asof_join(transcripts_df, context_df, strategy="jvm", **args)
+    ker = asof_join(
+        transcripts_df, context_df, strategy="kernel",
+        kernel_buckets=8, kernel_chunks=4, **args,
+    )
+    cols = ["conv_id", "ts", "turn_idx", "asof_ctx_value"]
+    a = sorted(map(tuple, jvm.select(cols).collect()))
+    b = sorted(map(tuple, ker.select(cols).collect()))
+    assert a == b and len(a) > 0
+
+    # chunk-split property: the hot conversation's rows spread over >1
+    # chunk id (hash of turn_idx), so no cogroup sees the whole entity
+    n_chunks = (
+        transcripts_df.filter(F.col("conv_id") == hot["conv_id"])
+        .select(F.pmod(F.xxhash64("turn_idx"), F.lit(4)).alias("c"))
+        .distinct().count()
+    )
+    assert n_chunks > 1
