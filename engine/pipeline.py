@@ -78,6 +78,35 @@ def add_text_features(df: DataFrame) -> DataFrame:
     )
 
 
+MAX_VOCAB = 64
+
+
+def discover_tool_vocab(
+    transcripts: DataFrame, max_size: int = MAX_VOCAB
+) -> list[str]:
+    """Exact distinct tool vocabulary from the RAW input — a single
+    narrow one-column scan with map-side partial distinct, run BEFORE
+    any per-row compute (never after the text kernel, where the probe
+    would drag the whole feature plan along). Returns at most
+    max_size + 1 values: a result longer than max_size signals the
+    caller to take the stream-kernel top-k path instead.
+
+    At 100 TB this is still one extra pass over one column; production
+    callers should pass `vocab=` explicitly (the tool set is a property
+    of the agent platform — a catalog stat, not data to rediscover) or,
+    for batched jobs, let run_resumable hoist this to once per job."""
+    return [
+        r["tool"]
+        for r in transcripts.filter(
+            F.col("tool").isNotNull() & (F.col("tool") != "")
+        )
+        .select("tool")
+        .distinct()
+        .limit(max_size + 1)
+        .collect()
+    ]
+
+
 def extract_features(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -87,8 +116,17 @@ def extract_features(
     asof_strategy: str = "jvm",
     num_partitions: int | None = None,
     repartition_before_text: bool | None = None,
+    vocab: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Return (features, errors, run_meta).
+
+    `vocab`: the tool vocabulary for the pure-codegen expanding-top-k
+    formulation. Pass it explicitly (catalog stat / platform config) to
+    build the ENTIRE feature plan without a single pre-pass job; when
+    None it is discovered from the raw input (one narrow one-column
+    scan; see discover_tool_vocab). A vocabulary larger than MAX_VOCAB
+    (either passed or discovered) switches to the streaming Arrow
+    kernel, which needs no vocabulary at all.
 
     `run_meta` carries static plan facts; row/byte/watermark metrics are
     computed at write time by TableIO (engine/tableio.py) so the lazy
@@ -134,16 +172,13 @@ def extract_features(
 
     # expanding top-k: pure-codegen vocab formulation when the tool
     # vocabulary is small (the normal case — agent toolsets are bounded;
-    # costs one tiny distinct job up front, saves the ~9-13 s Arrow IPC
-    # round-trip of the wide rows); streaming Arrow kernel otherwise
-    vocab = [
-        r["tool"]
-        for r in good.filter(
-            F.col("tool").isNotNull() & (F.col("tool") != "")
-        ).select("tool").distinct().limit(65).collect()
-    ]
-    if len(vocab) <= 64:
-        good = add_top_tools_vocab(good, vocab=vocab)
+    # saves the ~9-13 s Arrow IPC round-trip of the wide rows);
+    # streaming Arrow kernel otherwise. Discovery (when no vocab was
+    # passed) scans the RAW one-column input, not the feature plan.
+    if vocab is None:
+        vocab = discover_tool_vocab(transcripts)
+    if len(vocab) <= MAX_VOCAB:
+        good = add_top_tools_vocab(good, vocab=list(vocab))
     else:
         good = add_top_tools_expanding(good, assume_partitioned=True)
 
@@ -153,6 +188,8 @@ def extract_features(
         "session_gap_s": session_gap_s,
         "roll_window_s": roll_window_s,
         "asof_strategy": asof_strategy,
+        "topk_strategy": "vocab" if len(vocab) <= MAX_VOCAB else "stream",
+        "vocab_size": len(vocab),
         "num_partitions": n_part,
         "repartition_before_text": repartition_before_text,
         "planned_at_epoch_s": t0,

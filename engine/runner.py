@@ -43,6 +43,17 @@ def run_resumable(
     aggregate rows. Re-invoking with the same job_id after a crash
     re-runs only uncommitted batches.
     """
+    # Hoist tool-vocab discovery to ONCE per job: without this, every
+    # batch would pay its own one-column discovery scan (n_batches
+    # extra passes at 10^12 rows). Callers with a catalog stat pass
+    # vocab= themselves and skip even this single scan.
+    if "vocab" not in pipeline_kwargs:
+        from engine.pipeline import discover_tool_vocab
+
+        pipeline_kwargs = {
+            **pipeline_kwargs,
+            "vocab": discover_tool_vocab(transcripts),
+        }
     summary = {"job_id": job_id, "n_batches": n_batches, "batches": []}
     for b in range(n_batches):
         run_id = f"{job_id}-b{b:04d}"

@@ -31,6 +31,7 @@ def run_once(cores: int, tpath: str, cpath: str, shuffle: int = 32,
     steal from co-tenants; min approximates uncontended performance).
     The plan is rebuilt per rep so Spark cannot reuse the previous
     rep's shuffle files."""
+    from engine.generate import TOOLS
     from engine.pipeline import extract_features
     from engine.session import build_session
 
@@ -44,7 +45,7 @@ def run_once(cores: int, tpath: str, cpath: str, shuffle: int = 32,
     c = spark.read.parquet(cpath)
     n = t.count()
     # untimed warmup (worker spawn + JIT)
-    wf, _, _ = extract_features(spark, t.limit(20000), c.limit(5000))
+    wf, _, _ = extract_features(spark, t.limit(20000), c.limit(5000), vocab=list(TOOLS))
     wf.write.format("noop").mode("overwrite").save()
 
     best = float("inf")
@@ -55,7 +56,7 @@ def run_once(cores: int, tpath: str, cpath: str, shuffle: int = 32,
         # N-vs-4N comparison isolates CPU scaling from scan-layout
         # artifacts (the adaptive default optimizes absolute speed,
         # not scaling symmetry; BENCH.md reports both)
-        f, _, _ = extract_features(spark, t, c, repartition_before_text=True)
+        f, _, _ = extract_features(spark, t, c, repartition_before_text=True, vocab=list(TOOLS))
         t0 = time.time()
         f.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0

@@ -75,3 +75,31 @@ def test_asof_probe_filter_prunes_columns(spark):
     # both scans of events must push the event_type filter
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("event_type" in p for p in pushed), pushed
+
+
+def _n_jobs(spark) -> int:
+    return spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs()
+
+
+def test_flagship_no_prepass_with_explicit_vocab(spark, transcripts_df, context_df):
+    """With vocab passed (the production catalog-stat path), building
+    the ENTIRE feature plan launches ZERO Spark jobs — no vocab
+    discovery scan, no hidden collect anywhere in plan construction.
+    Without vocab, exactly ONE narrow discovery job runs."""
+    from engine.generate import TOOLS
+    from engine.pipeline import extract_features
+
+    before = _n_jobs(spark)
+    f, _e, _m = extract_features(
+        spark, transcripts_df, context_df, vocab=list(TOOLS),
+        repartition_before_text=False,
+    )
+    assert _n_jobs(spark) == before, "plan construction must launch no jobs"
+    assert _m["topk_strategy"] == "vocab"
+
+    before = _n_jobs(spark)
+    f, _e, _m = extract_features(
+        spark, transcripts_df, context_df, repartition_before_text=False
+    )
+    # one discovery QUERY (AQE may stage it as >1 job); bounded small
+    assert 1 <= _n_jobs(spark) - before <= 3, "vocab=None costs one bounded discovery query"
