@@ -46,9 +46,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead": Q.q_lag_lead,
         "ffill": Q.q_ffill,
         "rolling": Q.q_rolling,
+        # rows-only driver check (sketch values are engine-specific, so
+        # no oracle_sql entry; tolerance pinned in tests/test_topk.py)
+        "rolling_approx": Q.q_rolling_approx,
         "asof_purchase": Q.q_asof_purchase,
         "asof_purchase_kernel": Q.q_asof_purchase_kernel,
         "rollup_revenue": Q.q_rollup_revenue,
+        "cube_revenue": Q.q_cube_revenue,
         "value_percentiles": Q.q_value_percentiles,
         "embed_centroid": Q.q_embed_centroid,
         "topk_event_types": Q.q_topk_event_types,
@@ -77,6 +81,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase": Q.SQL_ASOF_PURCHASE,
         "asof_purchase_kernel": Q.SQL_ASOF_PURCHASE_KERNEL,
         "rollup_revenue": Q.SQL_ROLLUP_REVENUE,
+        "cube_revenue": Q.SQL_CUBE_REVENUE,
         "value_percentiles": Q.SQL_VALUE_PERCENTILES,
         "embed_centroid": Q.SQL_EMBED_CENTROID,
         "topk_event_types": Q.SQL_TOPK_EVENT_TYPES,

@@ -192,17 +192,45 @@ def q_rolling(spark, sf_dir):
         "event_id",
         "roll_cnt",
         F.round("_avg", 6).alias("roll_avg_value"),
+        # P8 neighborhood-relative value: this row vs its own trailing
+        # window's mean (reference analog: pixel vs neighborhood mean,
+        # SURVEY §2.2 P8) — same window, no extra sort or shuffle
+        F.round(F.col("value") - F.col("_avg"), 6).alias("rel_value_roll"),
     )
 
 
 SQL_ROLLING = f"""
 SELECT user_id, event_id,
        COUNT(*) OVER w            AS roll_cnt,
-       ROUND(AVG(value) OVER w, 6) AS roll_avg_value
+       ROUND(AVG(value) OVER w, 6) AS roll_avg_value,
+       ROUND(value - AVG(value) OVER w, 6) AS rel_value_roll
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL {ROLL_S} SECONDS PRECEDING AND CURRENT ROW)
 """
+
+
+def q_rolling_approx(spark, sf_dir):
+    """Rolling APPROX distinct count (HyperLogLog++) over the same
+    event-time range frame as q_rolling — the advertised bench-scale
+    path of add_rolling(approx_distinct=True): sketches merge in O(1)
+    memory per frame instead of materializing a collect_list.
+
+    No SQL oracle by design (sketch estimates are engine-specific);
+    the driver records a rows-only check and
+    tests/test_topk.py::test_rolling_approx_distinct_tolerance pins the
+    estimate against the exact count."""
+    ev = _t(spark, sf_dir, "events")
+    out = core.rolling_range(
+        ev,
+        "user_id",
+        "ts",
+        ROLL_S,
+        {"roll_types_approx": F.approx_count_distinct("event_type")},
+    )
+    return out.select(
+        "user_id", "event_id", F.col("roll_types_approx").cast("int").alias("roll_types_approx")
+    )
 
 
 def q_asof_purchase(spark, sf_dir):
@@ -522,6 +550,27 @@ SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders,
        ROUND(SUM(o_totalprice), 2) AS revenue
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube_revenue(spark, sf_dir):
+    """Full CUBE sibling of the rollup (every grouping set of
+    status × priority) — Spark's cube == ANSI GROUP BY CUBE."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_CUBE_REVENUE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 

@@ -3,6 +3,8 @@ variant (reference dominant-color contract, SURVEY.md §2.4/2.5)."""
 
 import pandas as pd
 
+from pyspark.sql import functions as F
+
 from engine.operators.topk import top_tools_expanding_py, top_tools_final
 from engine.schema import TRANSCRIPT_SCHEMA
 
@@ -79,3 +81,28 @@ def test_vocab_equals_grouped_strategy(spark, transcripts_df):
     pa_ = a.toPandas().sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
     pb = b.toPandas().sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
     assert pa_["top_tools"].map(list).equals(pb["top_tools"].map(list))
+
+
+def test_rolling_approx_distinct_tolerance(spark, transcripts_df):
+    """add_rolling(approx_distinct=True) — the bench-scale sketch path —
+    stays within HLL++ tolerance of the exact rolling distinct (tool
+    vocabularies are small, so the estimate is exact or off by <=1)."""
+    from engine.operators import windows as W
+    from engine.pipeline import add_text_features
+
+    base = W.with_ts_sec(add_text_features(transcripts_df))
+    exact = W.add_rolling(base, approx_distinct=False).select(
+        "conv_id", "ts", "turn_idx", "roll_tools_distinct_5m"
+    )
+    approx = W.add_rolling(base, approx_distinct=True).select(
+        "conv_id", "ts", "turn_idx",
+        F.col("roll_tools_distinct_5m").alias("approx_d"),
+    )
+    joined = exact.join(approx, ["conv_id", "ts", "turn_idx"]).select(
+        "roll_tools_distinct_5m", "approx_d"
+    )
+    rows = joined.collect()
+    assert rows
+    worst = max(abs(r["roll_tools_distinct_5m"] - r["approx_d"]) for r in rows)
+    # rsd 0.05 on counts <= ~12 distinct tools: off by at most 1
+    assert worst <= 1, worst
