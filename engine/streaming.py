@@ -22,16 +22,29 @@ the caller's. Tests drive them with a file source + `availableNow`
 trigger into a memory sink and compare against the batch engine on the
 same rows (tests/test_streaming.py).
 
+- `stream_asof`: the point-in-time as-of join as a custom
+  `applyInPandasWithState` state machine over the union-tagged probe +
+  context streams — watermark-buffered, so results are EXACTLY the
+  batch as-of on the same rows (event-time order, not arrival order):
+  rows buffer in per-conversation state until the watermark passes
+  their timestamp (no earlier context can still arrive), then probes
+  emit matched against the latest admissible context; older context
+  rows collapse into a single "floor" row (only the max-(ts, idx)
+  context at-or-below the watermark can ever match a future probe).
+
 At cluster scale: state-store size is bounded by the watermark horizon
 × active conversations; shuffle partitioning for the session window is
-on conv_id (same key as batch). `applyInPandasWithState` would host
-the as-of/expanding-top-k state machines if a fully streaming feature
-vector were needed; deliberately out of the minimum slice.
+on conv_id (same key as batch).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 from engine.schema import ROLL_WINDOW_S, SESSION_GAP_S
 
@@ -100,5 +113,201 @@ def stream_rolling_counts(
             F.col("w.end").alias("w_end"),
             "roll_cnt",
             "roll_avg_raw_len",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming as-of join (custom stateful operator)
+# ---------------------------------------------------------------------------
+
+ASOF_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("asof_ctx_value", T.DoubleType()),
+        T.StructField("asof_ctx_label", T.StringType()),
+    ]
+)
+
+# state: pending rows as parallel primitive arrays (probes + contexts
+# above the watermark) plus the collapsed context "floor" at/below it
+_ASOF_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("p_ts", T.ArrayType(T.LongType())),     # epoch ms
+        T.StructField("p_idx", T.ArrayType(T.LongType())),
+        T.StructField("p_role", T.ArrayType(T.StringType())),
+        T.StructField("p_text", T.ArrayType(T.StringType())),
+        T.StructField("p_tool", T.ArrayType(T.StringType())),
+        T.StructField("c_ts", T.ArrayType(T.LongType())),     # epoch ms
+        T.StructField("c_idx", T.ArrayType(T.LongType())),
+        T.StructField("c_val", T.ArrayType(T.DoubleType())),
+        T.StructField("c_lab", T.ArrayType(T.StringType())),
+        T.StructField("floor_ts", T.LongType()),               # -1 = none
+        T.StructField("floor_idx", T.LongType()),
+        T.StructField("floor_val", T.DoubleType()),
+        T.StructField("floor_lab", T.StringType()),
+    ]
+)
+
+
+def _asof_state_fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Per-conversation as-of state machine (see module docstring).
+
+    Emits a probe ONLY once the watermark passes its event time — at
+    that point the admissible context set (ctx_ts <= probe_ts) is
+    final, so the match equals the batch as-of exactly. Equal-ts
+    tie-break matches the batch operator: context at ctx_ts == probe_ts
+    is visible (strict=False), latest (ctx_ts, ctx_idx) wins.
+    """
+    conv_id = key[0]
+    if state.exists:
+        (p_ts, p_idx, p_role, p_text, p_tool,
+         c_ts, c_idx, c_val, c_lab,
+         floor_ts, floor_idx, floor_val, floor_lab) = state.get
+        probes = list(zip(p_ts, p_idx, p_role, p_text, p_tool))
+        ctxs = list(zip(c_ts, c_idx, c_val, c_lab))
+    else:
+        probes, ctxs = [], []
+        floor_ts, floor_idx, floor_val, floor_lab = -1, -1, None, None
+
+    for pdf in pdfs:
+        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+        sides = pdf["_side"].tolist()
+        idxs = pdf["_idx"].tolist()
+        roles = pdf["role"].tolist()
+        texts = pdf["text"].tolist()
+        tools = pdf["tool"].tolist()
+        vals = pdf["_cval"].tolist()
+        labs = pdf["_clab"].tolist()
+        for i in range(len(pdf)):
+            if sides[i] == 1:
+                probes.append((ts_ms[i], idxs[i], roles[i], texts[i], tools[i]))
+            else:
+                v = vals[i]
+                ctxs.append(
+                    (ts_ms[i], idxs[i], None if pd.isna(v) else float(v), labs[i])
+                )
+
+    wm = state.getCurrentWatermarkMs()
+
+    out_rows = []
+    if probes:
+        emit = sorted(
+            (p for p in probes if p[0] <= wm), key=lambda p: (p[0], p[1])
+        )
+        if emit:
+            # context candidates, event-time order
+            cand = sorted(ctxs, key=lambda c: (c[0], c[1]))
+            probes = [p for p in probes if p[0] > wm]
+            j = 0
+            best = (
+                (floor_ts, floor_idx, floor_val, floor_lab)
+                if floor_ts >= 0
+                else None
+            )
+            for pts, pidx, prole, ptext, ptool in emit:
+                while j < len(cand) and cand[j][0] <= pts:
+                    best = cand[j]
+                    j += 1
+                out_rows.append(
+                    {
+                        "conv_id": conv_id,
+                        "turn_idx": int(pidx),
+                        "ts": pd.Timestamp(pts, unit="ms"),
+                        "role": prole,
+                        "text": ptext,
+                        "tool": ptool,
+                        "asof_ctx_value": best[2] if best else None,
+                        "asof_ctx_label": best[3] if best else None,
+                    }
+                )
+
+    # collapse contexts at/below the watermark into the floor: only the
+    # latest of them can match any future (ts > wm) probe
+    old = [c for c in ctxs if c[0] <= wm]
+    if old:
+        mx = max(old, key=lambda c: (c[0], c[1]))
+        if floor_ts < 0 or (mx[0], mx[1]) > (floor_ts, floor_idx):
+            floor_ts, floor_idx, floor_val, floor_lab = mx
+    ctxs = [c for c in ctxs if c[0] > wm]
+
+    if probes or ctxs:
+        probes.sort(key=lambda p: (p[0], p[1]))
+        ctxs.sort(key=lambda c: (c[0], c[1]))
+        state.update((
+            [p[0] for p in probes], [p[1] for p in probes],
+            [p[2] for p in probes], [p[3] for p in probes],
+            [p[4] for p in probes],
+            [c[0] for c in ctxs], [c[1] for c in ctxs],
+            [c[2] for c in ctxs], [c[3] for c in ctxs],
+            floor_ts, floor_idx, floor_val, floor_lab,
+        ))
+        if probes:
+            # fire when the watermark reaches the earliest pending probe
+            # (max(.., wm+1): the timeout must sit above the current wm)
+            state.setTimeoutTimestamp(max(probes[0][0], wm + 1))
+    elif state.exists:
+        state.remove()
+
+    if out_rows:
+        yield pd.DataFrame(out_rows, columns=[f.name for f in ASOF_OUT_SCHEMA.fields])
+
+
+def stream_asof(
+    probe: DataFrame,
+    context: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming point-in-time as-of join: per-turn features get the
+    latest context event with event_ts <= ts of the same conversation —
+    EXACT batch-as-of semantics under event-time (late rows beyond
+    `watermark` are dropped by the engine, as in any watermarked op).
+
+    probe:   streaming transcripts (conv_id, turn_idx, ts, role, text, tool)
+    context: streaming events (conv_id, event_ts, event_idx, ctx_value, ctx_label)
+
+    Union-tags the two streams (a stateful operator consumes ONE keyed
+    stream), groups by conv_id, and runs the watermark-buffered state
+    machine above. State per conversation is bounded by the watermark
+    horizon (pending rows) + one floor row.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    p = probe.withWatermark("ts", watermark).select(
+        "conv_id",
+        "ts",
+        F.lit(1).alias("_side"),
+        F.col("turn_idx").cast("long").alias("_idx"),
+        "role",
+        "text",
+        "tool",
+        F.lit(None).cast("double").alias("_cval"),
+        F.lit(None).cast("string").alias("_clab"),
+    )
+    c = context.withWatermark("event_ts", watermark).select(
+        "conv_id",
+        F.col("event_ts").alias("ts"),
+        F.lit(0).alias("_side"),
+        F.col("event_idx").cast("long").alias("_idx"),
+        F.lit(None).cast("string").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ctx_value").alias("_cval"),
+        F.col("ctx_label").alias("_clab"),
+    )
+    return (
+        p.unionByName(c)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _asof_state_fn,
+            outputStructType=ASOF_OUT_SCHEMA,
+            stateStructType=_ASOF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
