@@ -107,7 +107,7 @@ def run_bench(sf_dir: str, cpus: int, only: set[str] | None, n_turns: int) -> di
     # single-shot timing is noise: take the best of `reps` runs, with
     # the plan REBUILT each rep (fresh RDD ids — Spark would otherwise
     # reuse the previous rep's shuffle files and flatter the number).
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     flag_s = float("inf")
     for _ in range(reps):
         features, errors, _meta = extract_features(spark, t, c, vocab=vocab)

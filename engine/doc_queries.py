@@ -225,6 +225,71 @@ FROM documents
 """
 
 
+def q_doc_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords (keyword extraction — the
+    corpus-statistics sibling of the per-doc token counts).
+
+    tf = token count within the doc (lowercased whitespace tokens);
+    idf = ln((N + 1) / (df + 1)), smoothed; rank per doc by
+    (score desc, token asc), k = 3.
+
+    Scale shape: two hash aggregations (doc-term counts, then document
+    frequency), one shuffle join on token to attach idf, corpus size N
+    attached via a broadcast cross-join of a 1-row aggregate — no
+    collect, no Python."""
+    from engine.functions.docs import ws_tokens
+
+    d = _heavy(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfq"))
+    n = d.select(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log((F.col("n_docs") + 1.0) / (F.col("dfq") + 1.0)),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )
+
+
+SQL_DOC_TFIDF_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, COUNT(*) AS dfq FROM tf GROUP BY tok
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(tf.tf AS DOUBLE) * ln((n.n_docs + 1.0) / (dfreq.dfq + 1.0)) AS tfidf
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+), r AS (
+  SELECT doc_id, tok, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, tok ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, tok, ROUND(tfidf, 6) AS tfidf, rank FROM r WHERE rank <= 3
+"""
+
+
 def q_topk_padded(spark, sf_dir):
     """Per-entity top-k as a fixed-arity list (W6 slice + W7 pad):
     top-3 event types by count, padded by repeating the last element —
@@ -362,6 +427,39 @@ JOIN sg sa ON sa.doc_id = p.id_a
 JOIN sg sb ON sb.doc_id = p.id_b
 WHERE len(list_intersect(sa.shingles, sb.shingles))
       / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.2
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: MinHash-LSH verified pairs → connected
+    components (iterative min-label propagation to a fixpoint). The
+    oracle unrolls 4 propagation rounds in SQL — the sf0.01 pair graph
+    is tiny cliques (diameter 1, measured), so 4 rounds is a 4x margin;
+    the Spark side iterates to the true fixpoint regardless."""
+    d = _heavy(spark, sf_dir, "documents")
+    return DD.near_dup_clusters(d, threshold=0.2)
+
+
+def _cc_step(k: int) -> str:
+    return (
+        f"l{k} AS (SELECT v.id AS id, "
+        f"LEAST(v.lab, COALESCE(MIN(n.lab), v.lab)) AS lab "
+        f"FROM l{k - 1} v LEFT JOIN edges e ON e.src = v.id "
+        f"LEFT JOIN l{k - 1} n ON n.id = e.dst "
+        f"GROUP BY v.id, v.lab)"
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH p AS ({SQL_DEDUP_NEAR_PAIRS}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+l0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents),
+{', '.join(_cc_step(k) for k in range(1, 5))}
+SELECT id AS doc_id, lab AS cluster_id FROM l4
 """
 
 
@@ -667,10 +765,12 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_regex_extract": q_doc_regex_extract,
+    "doc_tfidf_topk": q_doc_tfidf_topk,
     "topk_padded": q_topk_padded,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_near_pairs": q_dedup_near_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -687,10 +787,12 @@ ORACLES = {
     "doc_langid": SQL_DOC_LANGID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_regex_extract": SQL_DOC_REGEX_EXTRACT,
+    "doc_tfidf_topk": SQL_DOC_TFIDF_TOPK,
     "topk_padded": SQL_TOPK_PADDED,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
     "dedup_near_pairs": SQL_DEDUP_NEAR_PAIRS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

@@ -95,6 +95,22 @@ def ffill(
     return df.withColumn(out, F.last(src, ignorenulls=True).over(cum))
 
 
+def bfill(
+    df: DataFrame, entity: str, ts: str, idx: str, src: Column | str, out: str
+) -> DataFrame:
+    """Backfill: first non-null value of `src` at or after this row.
+
+    NOTE on leakage: unlike ffill, a backfilled column looks FORWARD in
+    time — it is a training-label/imputation tool (the north rule's
+    'backfill of tool and role context'), never a feature for the row's
+    own timestamp. Callers own that discipline; the operator shares the
+    one (entity)×(ts, idx) window spec (reversed frame, same sort)."""
+    fut = entity_window(entity, ts, idx).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    return df.withColumn(out, F.first(src, ignorenulls=True).over(fut))
+
+
 def lag_lead(
     df: DataFrame, entity: str, ts: str, idx: str, src: str, n: int = 1
 ) -> DataFrame:

@@ -205,6 +205,78 @@ def verified_near_dups(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clusters (connected components over verified pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    label(v) ← min(label(v), min over neighbors of label(n)), repeated
+    until a fixpoint. Returns (id_col, cluster_id) where cluster_id is
+    the minimum vertex id of the component; vertices with no pairs are
+    singletons labeled by their own id.
+
+    `pairs` must carry (id_a, id_b). Each round costs one shuffle join
+    of labels against the (sparse) edge list + one aggregate; rounds =
+    graph diameter. Near-dup graphs are forests of tiny cliques, so
+    this converges in a handful of rounds; for adversarial long-chain
+    graphs at 100 TB swap in the large-star/small-star contraction
+    (Kiveris et al.), which is O(log²) rounds over the same join shape.
+    Labels are localCheckpoint()ed every round to truncate lineage."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("lab")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("lab").alias("_nmin"))
+        )
+        new = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("_nmin"), F.col("lab"))
+                ).alias("lab"),
+                F.col("lab").alias("_old"),
+            )
+        ).localCheckpoint()
+        changed = new.filter(F.col("lab") != F.col("_old")).count()
+        labels = new.drop("_old")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("lab").alias("cluster_id"))
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering: MinHash-LSH verified pairs
+    → connected components → (doc_id, cluster_id). The dedup decision a
+    training pipeline actually executes: keep min-id per cluster."""
+    pairs = verified_near_dups(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold
+    ).select("id_a", "id_b")
+    return connected_components(df.select(id_col), pairs, id_col)
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -129,6 +129,13 @@ def add_rolling(
         if approx_distinct
         else F.size(F.array_distinct(F.col("_roll_tools")))
     )
+    # P8 neighborhood-relative value: txt_len vs the trailing-window
+    # mean it is part of — derived from the materialized aggregate, so
+    # it costs zero extra window evaluation
+    df = df.withColumn(
+        "roll_rel_len_5m",
+        F.col("txt_len").cast("double") - F.col("roll_avg_len_5m"),
+    )
     return df.withColumn("roll_tools_distinct_5m", distinct.cast("int")).drop(
         "_roll_tools"
     )

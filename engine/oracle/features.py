@@ -101,6 +101,9 @@ def oracle_features(
             roll_dst[idx[j]] = len(set(tl))
     df["roll_cnt_5m"] = roll_cnt
     df["roll_avg_len_5m"] = roll_avg
+    # P8 neighborhood-relative (independent recomputation: pandas sub,
+    # not the engine's expression)
+    df["roll_rel_len_5m"] = df["txt_len"].astype("float64") - roll_avg
     df["roll_tools_distinct_5m"] = roll_dst
 
     # --- as-of join (independent: per-conv scan over sorted context) ---
@@ -151,7 +154,8 @@ def oracle_features(
         "ctx_last_tool", "ctx_last_user_text",
         "lag_text_len", "lead_text_len", "gap_prev_s", "gap_next_s",
         "session_id", "sess_turn_no", "sess_len_so_far",
-        "roll_cnt_5m", "roll_avg_len_5m", "roll_tools_distinct_5m",
+        "roll_cnt_5m", "roll_avg_len_5m", "roll_rel_len_5m",
+        "roll_tools_distinct_5m",
         "asof_ctx_value", "asof_ctx_label", "top_tools",
     ]
     return df[out_cols].reset_index(drop=True)

@@ -150,20 +150,19 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 
 def q_ffill(spark, sf_dir):
-    """Backfill/ffill: latest purchase value at or before each event."""
+    """Backfill/ffill pair: latest purchase value at or before each
+    event (ffill, leakage-free feature) and earliest purchase value at
+    or after it (bfill, imputation/label direction). Both fills share
+    the one (user)×(ts, event_id) sort."""
     ev = _t(spark, sf_dir, "events")
-    out = core.ffill(
-        ev,
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(F.col("event_type") == "purchase", F.col("value")),
-        "last_purchase_value",
-    )
+    purchase = F.when(F.col("event_type") == "purchase", F.col("value"))
+    out = core.ffill(ev, "user_id", "ts", "event_id", purchase, "last_purchase_value")
+    out = core.bfill(out, "user_id", "ts", "event_id", purchase, "next_purchase_value")
     return out.select(
         "user_id",
         "event_id",
         F.round("last_purchase_value", 6).alias("last_purchase_value"),
+        F.round("next_purchase_value", 6).alias("next_purchase_value"),
     )
 
 
@@ -172,7 +171,11 @@ SELECT user_id, event_id,
        ROUND(LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-         AS last_purchase_value
+         AS last_purchase_value,
+       ROUND(FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6)
+         AS next_purchase_value
 FROM events
 """
 

@@ -67,6 +67,9 @@ FEATURE_SCHEMA = T.StructType(
         # rolling event-time family (past-only 300 s range frame)
         T.StructField("roll_cnt_5m", T.LongType(), True),
         T.StructField("roll_avg_len_5m", T.DoubleType(), True),
+        # P8 neighborhood-relative: this turn's length vs its own
+        # trailing-window mean (same window, no extra sort/shuffle)
+        T.StructField("roll_rel_len_5m", T.DoubleType(), True),
         T.StructField("roll_tools_distinct_5m", T.IntegerType(), True),
         # as-of join family (against context_events)
         T.StructField("asof_ctx_value", T.DoubleType(), True),

@@ -311,3 +311,123 @@ def stream_asof(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming expanding top-k dominant tools (custom stateful operator)
+# ---------------------------------------------------------------------------
+
+TOPK_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("top_tools", T.ArrayType(T.StringType())),
+    ]
+)
+
+_TOPK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("p_ts", T.ArrayType(T.LongType())),    # pending, epoch ms
+        T.StructField("p_idx", T.ArrayType(T.LongType())),
+        T.StructField("p_tool", T.ArrayType(T.StringType())),
+        T.StructField("c_tool", T.ArrayType(T.StringType())),  # counts so far
+        T.StructField("c_n", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _make_topk_state_fn(k: int):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        """Watermark-buffered running top-k: turns buffer until the
+        watermark passes their event time (so the processed prefix is
+        the true event-time prefix — arrival order never leaks into the
+        ranking), then emit in (ts, turn_idx) order with the running
+        (count desc, tool asc) top-k after each turn, padded to arity k
+        (identical semantics to operators/topk.py, shared tie-break)."""
+        conv_id = key[0]
+        if state.exists:
+            p_ts, p_idx, p_tool, c_tool, c_n = state.get
+            pending = list(zip(p_ts, p_idx, p_tool))
+            counts = dict(zip(c_tool, c_n))
+        else:
+            pending, counts = [], {}
+
+        for pdf in pdfs:
+            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+            idxs = pdf["turn_idx"].tolist()
+            tools = pdf["tool"].tolist()
+            pending.extend(zip(ts_ms, idxs, tools))
+
+        wm = state.getCurrentWatermarkMs()
+        emit = sorted((p for p in pending if p[0] <= wm), key=lambda p: (p[0], p[1]))
+        pending = [p for p in pending if p[0] > wm]
+
+        out_rows = []
+        for pts, pidx, ptool in emit:
+            if ptool is not None and not pd.isna(ptool) and ptool != "":
+                counts[ptool] = counts.get(ptool, 0) + 1
+            if counts:
+                ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+                top = [t for t, _ in ranked]
+                while len(top) < k:
+                    top.append(top[-1])
+            else:
+                top = []
+            out_rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": int(pidx),
+                    "ts": pd.Timestamp(pts, unit="ms"),
+                    "top_tools": top,
+                }
+            )
+
+        if pending or counts:
+            pending.sort(key=lambda p: (p[0], p[1]))
+            items = sorted(counts.items())
+            state.update((
+                [p[0] for p in pending], [p[1] for p in pending],
+                [p[2] for p in pending],
+                [t for t, _ in items], [n for _, n in items],
+            ))
+            if pending:
+                state.setTimeoutTimestamp(max(pending[0][0], wm + 1))
+        elif state.exists:
+            state.remove()
+
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=[f.name for f in TOPK_OUT_SCHEMA.fields]
+            )
+
+    return fn
+
+
+def stream_top_tools(
+    df: DataFrame,
+    k: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming expanding top-k dominant tools per conversation — the
+    stateful counterpart of operators/topk.py: per turn, the top-k most
+    frequent tools over the conversation's event-time prefix up to and
+    including that turn. Watermark-buffered for exact event-time
+    semantics; state per conversation = pending rows within the
+    watermark horizon + one bounded count map (|tools| entries)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from engine.schema import TOP_K_TOOLS
+
+    return (
+        df.withWatermark("ts", watermark)
+        .select("conv_id", "ts", "turn_idx", "tool")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _make_topk_state_fn(k or TOP_K_TOOLS),
+            outputStructType=TOPK_OUT_SCHEMA,
+            stateStructType=_TOPK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

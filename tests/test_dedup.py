@@ -131,3 +131,34 @@ def test_simhash64_chunks_bounded(docs):
         for c in range(4):
             v = r[f"sim_{c}"]
             assert v is None or 0 <= v < (1 << 16)
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Min-label propagation converges past multi-hop chains (diameter
+    3 here — deeper than any sf0.01 cluster) and leaves singletons
+    labeled by their own id."""
+    from engine.operators.dedup import connected_components
+
+    vertices = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 6), (6, 7), (2, 3)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(vertices, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 4: 1, 6: 1, 7: 1, 2: 2, 3: 2, 5: 5}
+
+
+def test_near_dup_clusters_planted(docs):
+    """Docs 1/2/3 (exact dups after normalization? no — shingles are
+    case-sensitive: 1,2 identical; 3 near; 4 near) cluster together at
+    threshold 0.2; unrelated docs stay singletons."""
+    from engine.operators.dedup import near_dup_clusters
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(docs, threshold=0.2).collect()
+    }
+    assert got[1] == got[2] == got[3] == got[4] == 1
+    assert got[5] == 5 and got[6] == 6

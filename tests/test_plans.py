@@ -103,3 +103,37 @@ def test_flagship_no_prepass_with_explicit_vocab(spark, transcripts_df, context_
     )
     # one discovery QUERY (AQE may stage it as >1 job); bounded small
     assert 1 <= _n_jobs(spark) - before <= 3, "vocab=None costs one bounded discovery query"
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
+    """Disk bucketing: both sides bucketed by the join key into the
+    same bucket count join WITHOUT an Exchange — the co-located-join
+    layout a 100 TB fact/fact join relies on (shuffle happens once at
+    write time, amortized over every later join)."""
+    import os
+
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    for name, df in (
+        ("b_views", ev.filter("event_type = 'view'").select("user_id", "event_id", "ts")),
+        ("b_purch", ev.filter("event_type = 'purchase'").select("user_id", "value")),
+    ):
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(wh, name))
+            .bucketBy(8, "user_id").sortBy("user_id")
+            .saveAsTable(name)
+        )
+    # disable auto-broadcast: the point is the co-located shuffle-free
+    # SMJ/SHJ (at 100 TB neither side broadcasts), not dim broadcasting
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_views").join(spark.table("b_purch"), "user_id")
+        plan = _formatted(spark, j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        for name in ("b_views", "b_purch"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

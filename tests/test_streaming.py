@@ -131,3 +131,40 @@ def test_stream_asof_matches_batch(spark, transcripts_df, context_df, tmp_path_f
         s, b = merged[f"{col}_s"], merged[f"{col}_b"]
         same = (s == b) | (s.isna() & b.isna())
         assert same.all(), merged.loc[~same, key + [f"{col}_s", f"{col}_b"]].head()
+
+
+def test_stream_top_tools_matches_batch(spark, transcripts_df, stream_source):
+    """Streaming expanding top-k equals the batch kernel on every
+    emitted turn (event-time prefix semantics, same tie-break + pad)."""
+    from engine.operators.topk import add_top_tools_expanding
+    from engine.streaming import stream_top_tools
+
+    sdf = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_source)
+    out = stream_top_tools(sdf, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("topk_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "SELECT conv_id, turn_idx, top_tools FROM topk_stream"
+    ).toPandas()
+
+    exp = (
+        add_top_tools_expanding(transcripts_df)
+        .select("conv_id", "turn_idx", "top_tools")
+        .toPandas()
+    )
+    assert len(got) > 0.9 * len(exp), (len(got), len(exp))
+    key = ["conv_id", "turn_idx"]
+    merged = got.merge(exp, on=key, suffixes=("_s", "_b"), how="left")
+    assert len(merged) == len(got)
+    bad = [
+        (r["conv_id"], r["turn_idx"], list(r["top_tools_s"]), list(r["top_tools_b"]))
+        for _, r in merged.iterrows()
+        if list(r["top_tools_s"]) != list(r["top_tools_b"])
+    ]
+    assert not bad, bad[:5]
