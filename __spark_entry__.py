@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_kernel": Q.q_asof_purchase_kernel,
         "rollup_revenue": Q.q_rollup_revenue,
         "cube_revenue": Q.q_cube_revenue,
+        "value_histogram": Q.q_value_histogram,
+        "session_funnel": Q.q_session_funnel,
         "value_percentiles": Q.q_value_percentiles,
         "embed_centroid": Q.q_embed_centroid,
         "topk_event_types": Q.q_topk_event_types,
@@ -82,6 +84,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_kernel": Q.SQL_ASOF_PURCHASE_KERNEL,
         "rollup_revenue": Q.SQL_ROLLUP_REVENUE,
         "cube_revenue": Q.SQL_CUBE_REVENUE,
+        "value_histogram": Q.SQL_VALUE_HISTOGRAM,
+        "session_funnel": Q.SQL_SESSION_FUNNEL,
         "value_percentiles": Q.SQL_VALUE_PERCENTILES,
         "embed_centroid": Q.SQL_EMBED_CENTROID,
         "topk_event_types": Q.SQL_TOPK_EVENT_TYPES,

@@ -290,6 +290,44 @@ SELECT doc_id, tok, ROUND(tfidf, 6) AS tfidf, rank FROM r WHERE rank <= 3
 """
 
 
+def q_doc_enrich_join(spark, sf_dir):
+    """Enrichment-source join — the reference's scrape-then-enrich
+    pattern (dribbble_extractor.py:11-63: extract a key from the item,
+    look it up in a secondary source, attach typed enrichment):
+    regex-extract the first word of each doc, broadcast-join a small
+    enrichment dimension (language markers -> language), attach the
+    tag. Classic small-dim broadcast: the corpus never shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    dim_rows = [
+        (w, lang) for lang, ws in sorted(D.LANG_MARKERS.items()) for w in ws
+    ]
+    dim = d.sparkSession.createDataFrame(dim_rows, "word string, enrich_lang string")
+    keyed = d.select(
+        "doc_id",
+        F.regexp_extract(F.lower("text"), r"\b([a-z]+)\b", 1).alias("first_word"),
+    )
+    return keyed.join(
+        F.broadcast(dim), keyed.first_word == dim.word, "left"
+    ).select("doc_id", "first_word", "enrich_lang")
+
+
+_DIM_VALUES = ", ".join(
+    f"('{w}', '{lang}')"
+    for lang, ws in sorted(D.LANG_MARKERS.items())
+    for w in ws
+)
+SQL_DOC_ENRICH_JOIN = f"""
+WITH dim(word, enrich_lang) AS (VALUES {_DIM_VALUES}),
+keyed AS (
+  SELECT doc_id,
+         coalesce(regexp_extract(lower(text), '\\b([a-z]+)\\b', 1), '') AS first_word
+  FROM documents
+)
+SELECT k.doc_id, k.first_word, d.enrich_lang
+FROM keyed k LEFT JOIN dim d ON k.first_word = d.word
+"""
+
+
 def q_topk_padded(spark, sf_dir):
     """Per-entity top-k as a fixed-arity list (W6 slice + W7 pad):
     top-3 event types by count, padded by repeating the last element —
@@ -766,6 +804,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_regex_extract": q_doc_regex_extract,
     "doc_tfidf_topk": q_doc_tfidf_topk,
+    "doc_enrich_join": q_doc_enrich_join,
     "topk_padded": q_topk_padded,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -788,6 +827,7 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_regex_extract": SQL_DOC_REGEX_EXTRACT,
     "doc_tfidf_topk": SQL_DOC_TFIDF_TOPK,
+    "doc_enrich_join": SQL_DOC_ENRICH_JOIN,
     "topk_padded": SQL_TOPK_PADDED,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,

@@ -213,6 +213,99 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event values per type (the
+    data-profiling aggregation a training pipeline runs before choosing
+    normalization): bucket = floor(value / 25), counts + bucket bounds.
+    One hash aggregation, map-side combined — profile-at-100TB shape."""
+    ev = _t(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / F.lit(25.0)).cast("long")
+    return (
+        ev.groupBy("event_type", b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * 25.0).alias("lo"),
+            ((F.col("bucket") + 1) * 25.0).alias("hi"),
+            "n",
+        )
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT event_type,
+       CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+       CAST(FLOOR(value / 25.0) AS BIGINT) * 25.0 AS lo,
+       (CAST(FLOOR(value / 25.0) AS BIGINT) + 1) * 25.0 AS hi,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type, CAST(FLOOR(value / 25.0) AS BIGINT)
+"""
+
+
+def q_session_funnel(spark, sf_dir):
+    """Composite analytics: gap-sessionize events per user (W4), then a
+    per-session view->purchase conversion funnel — sessions counted as
+    converted iff a purchase follows a view INSIDE the session (F +
+    A families composed over the same one-shuffle layout)."""
+    ev = _t(spark, sf_dir, "events")
+    s = core.sessionize(ev, "user_id", "ts", "event_id", 1800.0, seq_col=None)
+    w = (
+        F.min(F.when(F.col("event_type") == "view", core.ts_seconds("ts")))
+    )
+    p = (
+        F.max(F.when(F.col("event_type") == "purchase", core.ts_seconds("ts")))
+    )
+    per_sess = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        w.alias("_first_view"),
+        p.alias("_last_purchase"),
+    )
+    conv = (
+        F.col("_first_view").isNotNull()
+        & F.col("_last_purchase").isNotNull()
+        & (F.col("_last_purchase") >= F.col("_first_view"))
+    )
+    return per_sess.groupBy().agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(conv.cast("long")).alias("n_converted"),
+        F.round(F.avg(conv.cast("double")), 6).alias("conversion_rate"),
+    )
+
+
+SQL_SESSION_FUNNEL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         epoch_us(ts) / 1000000.0 AS sec,
+         LAG(epoch_us(ts) / 1000000.0) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+  FROM events
+), b AS (
+  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800.0
+                 THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+            AS INT) AS session_id
+  FROM b
+), per_sess AS (
+  SELECT user_id, session_id,
+         MIN(CASE WHEN event_type = 'view' THEN sec END) AS first_view,
+         MAX(CASE WHEN event_type = 'purchase' THEN sec END) AS last_purchase
+  FROM s GROUP BY user_id, session_id
+)
+SELECT COUNT(*) AS n_sessions,
+       SUM(CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL
+                 AND last_purchase >= first_view THEN 1 ELSE 0 END) AS n_converted,
+       ROUND(AVG(CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL
+                 AND last_purchase >= first_view THEN 1.0 ELSE 0.0 END), 6)
+         AS conversion_rate
+FROM per_sess
+"""
+
+
 def q_rolling_approx(spark, sf_dir):
     """Rolling APPROX distinct count (HyperLogLog++) over the same
     event-time range frame as q_rolling — the advertised bench-scale
