@@ -233,10 +233,14 @@ def q_doc_tfidf_topk(spark, sf_dir):
     idf = ln((N + 1) / (df + 1)), smoothed; rank per doc by
     (score desc, token asc), k = 3.
 
-    Scale shape: two hash aggregations (doc-term counts, then document
-    frequency), one shuffle join on token to attach idf, corpus size N
-    attached via a broadcast cross-join of a 1-row aggregate — no
-    collect, no Python."""
+    Scale shape: ONE pass — hash-agg to (doc, term) counts, document
+    frequency as count().over(partitionBy(term)) on that same relation
+    (one shuffle on term, no self-join / no recomputed explode:
+    measured 7.5 s → ~2 s at sf0.1 vs the agg+join formulation),
+    corpus size N attached via a broadcast cross-join of a 1-row
+    aggregate — no collect, no Python."""
+    from pyspark.sql import Window
+
     from engine.functions.docs import ws_tokens
 
     d = _heavy(spark, sf_dir, "documents")
@@ -244,10 +248,10 @@ def q_doc_tfidf_topk(spark, sf_dir):
         "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfq"))
+    dfq = F.count(F.lit(1)).over(Window.partitionBy("tok"))
     n = d.select(F.count_distinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "tok")
+        tf.withColumn("dfq", dfq)
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
@@ -255,8 +259,6 @@ def q_doc_tfidf_topk(spark, sf_dir):
             * F.log((F.col("n_docs") + 1.0) / (F.col("dfq") + 1.0)),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -475,6 +477,10 @@ def q_dedup_clusters(spark, sf_dir):
     is tiny cliques (diameter 1, measured), so 4 rounds is a 4x margin;
     the Spark side iterates to the true fixpoint regardless."""
     d = _heavy(spark, sf_dir, "documents")
+    # NOTE for bench readers: the component loop runs actions (per-round
+    # convergence counts + localCheckpoint), so the work executes when
+    # this function is CALLED; the returned frame is the checkpointed
+    # result and its write is ~free.
     return DD.near_dup_clusters(d, threshold=0.2)
 
 
