@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_approx": Q.q_rolling_approx,
         "asof_purchase": Q.q_asof_purchase,
         "asof_purchase_kernel": Q.q_asof_purchase_kernel,
+        "asof_purchase_strict": Q.q_asof_purchase_strict,
         "rollup_revenue": Q.q_rollup_revenue,
         "cube_revenue": Q.q_cube_revenue,
         "value_histogram": Q.q_value_histogram,
@@ -82,6 +83,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling": Q.SQL_ROLLING,
         "asof_purchase": Q.SQL_ASOF_PURCHASE,
         "asof_purchase_kernel": Q.SQL_ASOF_PURCHASE_KERNEL,
+        "asof_purchase_strict": Q.SQL_ASOF_PURCHASE_STRICT,
         "rollup_revenue": Q.SQL_ROLLUP_REVENUE,
         "cube_revenue": Q.SQL_CUBE_REVENUE,
         "value_histogram": Q.SQL_VALUE_HISTOGRAM,

@@ -628,6 +628,55 @@ def q_asof_purchase_kernel(spark, sf_dir):
 SQL_ASOF_PURCHASE_KERNEL = SQL_ASOF_PURCHASE
 
 
+def q_asof_purchase_strict(spark, sf_dir):
+    """Strict (<) as-of boundary: an exactly-coincident purchase is NOT
+    visible to the view — the other half of the boundary contract the
+    non-strict query pins (events at equal ts exist by construction in
+    the fixtures)."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    ctx = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("event_ts"),
+        F.col("event_id").alias("ctx_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        probe, ctx,
+        on="user_id", probe_ts="ts", probe_idx="event_id",
+        ctx_ts="event_ts", ctx_idx="ctx_id",
+        payload=["purchase_value"], prefix="asof_",
+        strict=True, strategy="jvm",
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.round("asof_purchase_value", 6).alias("asof_purchase_value"),
+    )
+
+
+SQL_ASOF_PURCHASE_STRICT = """
+WITH probe AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+), ctx AS (
+  SELECT user_id, ts AS event_ts, event_id AS ctx_id, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), matched AS (
+  SELECT p.user_id, p.event_id, c.purchase_value,
+         ROW_NUMBER() OVER (PARTITION BY p.user_id, p.event_id
+                            ORDER BY c.event_ts DESC, c.ctx_id DESC) AS rn
+  FROM probe p JOIN ctx c
+    ON c.user_id = p.user_id AND c.event_ts < p.ts
+)
+SELECT p.user_id, p.event_id,
+       ROUND(m.purchase_value, 6) AS asof_purchase_value
+FROM probe p
+LEFT JOIN matched m
+  ON m.user_id = p.user_id AND m.event_id = p.event_id AND m.rn = 1
+"""
+
+
 def q_rollup_revenue(spark, sf_dir):
     """Hierarchical ROLLUP aggregate (status → priority) — Spark's
     rollup == ANSI GROUP BY ROLLUP; subtotal rows carry NULLs."""

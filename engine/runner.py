@@ -35,6 +35,9 @@ def run_resumable(
     job_id: str,
     n_batches: int = 8,
     entity_col: str = "conv_id",
+    isolate_hot: bool = False,
+    hot_threshold_frac: float = 0.01,
+    hot_sample_frac: float = 0.01,
     **pipeline_kwargs,
 ) -> dict:
     """Run the feature pipeline in `n_batches` resumable batches.
@@ -42,6 +45,15 @@ def run_resumable(
     Returns a job summary: per-batch status (committed / skipped) and
     aggregate rows. Re-invoking with the same job_id after a crash
     re-runs only uncommitted batches.
+
+    `isolate_hot` routes zipf-hot conversations (sampled detector,
+    operators/skew.py — deterministic seed, so resume-stable for the
+    same input) into their OWN final batch: a 1-5%-of-all-rows
+    conversation otherwise elongates whichever hash batch it lands in
+    (batch runtimes skew, failure blast radius concentrates); isolated,
+    it gets its own commit + lineage and the hash batches stay uniform.
+    The hot set is bounded by 1/hot_threshold_frac keys, so the
+    isin-filters broadcast trivially.
     """
     # Hoist tool-vocab discovery to ONCE per job: without this, every
     # batch would pay its own one-column discovery scan (n_batches
@@ -54,21 +66,38 @@ def run_resumable(
             **pipeline_kwargs,
             "vocab": discover_tool_vocab(transcripts),
         }
-    summary = {"job_id": job_id, "n_batches": n_batches, "batches": []}
-    for b in range(n_batches):
-        run_id = f"{job_id}-b{b:04d}"
+    hot_keys: list = []
+    if isolate_hot:
+        from engine.operators.skew import hot_entities
+
+        hot_keys = [
+            r[entity_col]
+            for r in hot_entities(
+                transcripts, entity_col,
+                threshold_frac=hot_threshold_frac,
+                sample_frac=hot_sample_frac,
+            ).collect()
+        ]
+
+    summary = {"job_id": job_id, "n_batches": n_batches, "batches": [],
+               "hot_keys": len(hot_keys)}
+    batches: list[tuple] = [(b, batch_filter(entity_col, n_batches, b))
+                            for b in range(n_batches)]
+    if hot_keys:
+        not_hot = ~F.col(entity_col).isin(hot_keys)
+        batches = [(b, pred & not_hot) for b, pred in batches]
+        batches.append(("hot", F.col(entity_col).isin(hot_keys)))
+
+    for b, pred in batches:
+        run_id = f"{job_id}-b{b:04d}" if isinstance(b, int) else f"{job_id}-{b}"
         if io.is_committed("features", run_id):
             m = io.read_manifest("features", run_id)
             summary["batches"].append(
                 {"batch": b, "status": "skipped", "rows": m["total_rows"]}
             )
             continue
-        t_b = transcripts.filter(batch_filter(entity_col, n_batches, b))
-        c_b = (
-            context.filter(batch_filter(entity_col, n_batches, b))
-            if context is not None
-            else None
-        )
+        t_b = transcripts.filter(pred)
+        c_b = context.filter(pred) if context is not None else None
         features, errors, meta = extract_features(spark, t_b, c_b, **pipeline_kwargs)
         # Commit ORDER matters for exactly-once: the features manifest is
         # the batch's commit point (resume gates on it above), so the

@@ -87,3 +87,33 @@ def test_time_travel_read(spark, transcripts_df, io):
     io.append(spark, second, "tt", "run-002")
     assert io.read(spark, "tt", as_of="run-001").count() == 10
     assert io.read(spark, "tt").count() == 35
+
+
+def test_hot_isolation_batch(spark, transcripts_df, context_df, io):
+    """isolate_hot routes the planted zipf-hot conversation into its
+    own batch; totals and key-uniqueness unchanged; resume skips all."""
+    from pyspark.sql import functions as F
+
+    summary = run_resumable(
+        spark, transcripts_df, context_df, io, job_id="jobhot",
+        n_batches=3, isolate_hot=True, hot_sample_frac=0.5,
+    )
+    assert summary["hot_keys"] >= 1
+    batches = {x["batch"]: x for x in summary["batches"]}
+    assert "hot" in batches and batches["hot"]["rows"] > 0
+
+    expected = transcripts_df.count()
+    assert summary["total_rows"] == expected
+    feats = io.read(spark, "features")
+    assert feats.count() == expected
+    assert feats.select("conv_id", "ts", "turn_idx").distinct().count() == expected
+
+    # the hot batch's own snapshot manifest carries its lineage
+    m = io.read_manifest("features", "jobhot-hot")
+    assert m["total_rows"] == batches["hot"]["rows"]
+
+    again = run_resumable(
+        spark, transcripts_df, context_df, io, job_id="jobhot",
+        n_batches=3, isolate_hot=True, hot_sample_frac=0.5,
+    )
+    assert all(x["status"] == "skipped" for x in again["batches"])
