@@ -431,3 +431,129 @@ def stream_top_tools(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState variant (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+def _tws_classes():
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class TopToolsTWS(StatefulProcessor):
+        """transformWithStateInPandas port of the expanding top-k state
+        machine — same watermark-buffered semantics as
+        `_make_topk_state_fn`, expressed over the Spark 4 typed-state
+        API: pending rows in a ListState, running counts in a
+        ValueState, re-emission driven by REGISTERED EVENT-TIME TIMERS
+        instead of the applyInPandasWithState timeout shim."""
+
+        def __init__(self, k: int):
+            self.k = k
+
+        def init(self, handle):
+            self.handle = handle
+            self.pending = handle.getListState(
+                "pending", "ts_ms long, idx long, tool string"
+            )
+            self.counts = handle.getValueState(
+                "counts", "tools array<string>, ns array<long>"
+            )
+
+        # -- shared emission core ------------------------------------------
+        def _drain(self, conv_id, new_rows, wm):
+            buf = [tuple(r) for r in self.pending.get()] + new_rows
+            cv = self.counts.get() if self.counts.exists() else None
+            counts = dict(zip(cv[0], cv[1])) if cv else {}
+
+            emit = sorted((p for p in buf if p[0] <= wm), key=lambda p: (p[0], p[1]))
+            buf = sorted(
+                (p for p in buf if p[0] > wm), key=lambda p: (p[0], p[1])
+            )
+            out = []
+            for pts, pidx, ptool in emit:
+                if ptool is not None and not pd.isna(ptool) and ptool != "":
+                    counts[ptool] = counts.get(ptool, 0) + 1
+                if counts:
+                    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: self.k]
+                    top = [t for t, _ in ranked]
+                    while len(top) < self.k:
+                        top.append(top[-1])
+                else:
+                    top = []
+                out.append(
+                    {
+                        "conv_id": conv_id,
+                        "turn_idx": int(pidx),
+                        "ts": pd.Timestamp(pts, unit="ms"),
+                        "top_tools": top,
+                    }
+                )
+
+            self.pending.clear()
+            if buf:
+                self.pending.put(buf)
+                self.handle.registerTimer(max(buf[0][0], wm + 1))
+            if counts:
+                items = sorted(counts.items())
+                self.counts.update(([t for t, _ in items], [n for _, n in items]))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=[f.name for f in TOPK_OUT_SCHEMA.fields]
+                )
+
+        def handleInputRows(self, key, rows, timerValues):
+            new_rows = []
+            for pdf in rows:
+                new_rows.extend(
+                    zip(
+                        (pdf["ts"].astype("int64") // 1_000_000).tolist(),
+                        pdf["turn_idx"].tolist(),
+                        pdf["tool"].tolist(),
+                    )
+                )
+            yield from self._drain(
+                key[0], new_rows, timerValues.getCurrentWatermarkInMs()
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            yield from self._drain(
+                key[0], [], timerValues.getCurrentWatermarkInMs()
+            )
+
+        def close(self):
+            pass
+
+    return TopToolsTWS
+
+
+def stream_top_tools_tws(
+    df: DataFrame,
+    k: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """`stream_top_tools` on the Spark 4 `transformWithStateInPandas`
+    API (typed ListState/ValueState + registered event-time timers) —
+    the forward-looking surface for custom stateful operators; the
+    applyInPandasWithState variant remains the differential check.
+
+    RUNTIME REQUIREMENTS (not met in this sandbox, so the test
+    env-gates): the TWS python-JVM state protocol needs `protobuf`
+    (absent here — `import google.protobuf` fails) and the RocksDB
+    state store (`spark.sql.streaming.stateStore.providerClass =
+    ...state.RocksDBStateStoreProvider`). On a real cluster both ship
+    with a standard PySpark install."""
+    from engine.schema import TOP_K_TOOLS
+
+    proc = _tws_classes()(k or TOP_K_TOOLS)
+    return (
+        df.withWatermark("ts", watermark)
+        .select("conv_id", "ts", "turn_idx", "tool")
+        .groupBy("conv_id")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=TOPK_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
