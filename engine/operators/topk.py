@@ -157,6 +157,11 @@ def add_top_tools_vocab(
             ).select("tool").distinct().collect()
         ]
     vocab = sorted(vocab)
+    if not vocab:
+        # no tools anywhere (empty input / all-null tool column): the
+        # expanding top-k is [] for every row — and F.array() of zero
+        # structs would type as array<void> and break the lambda below
+        return df.withColumn("top_tools", F.array().cast("array<string>"))
 
     w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -1,0 +1,71 @@
+"""Edge-input hygiene at the library surface: empty tables, null-heavy
+single turns, context misses, and the >MAX_VOCAB stream fallback."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from engine.pipeline import MAX_VOCAB, extract_features
+from engine.schema import CONTEXT_SCHEMA, TRANSCRIPT_SCHEMA
+
+
+def test_empty_input(spark):
+    t = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    feats, errs, meta = extract_features(spark, t, None)
+    assert feats.count() == 0
+    assert errs.count() == 0
+    assert meta["topk_strategy"] == "vocab"  # empty vocab is still small
+
+
+def test_single_turn_nulls(spark):
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    t = spark.createDataFrame(
+        [("c1", 0, "user", None, None, ts)], TRANSCRIPT_SCHEMA
+    )
+    feats, errs, _ = extract_features(spark, t, None)
+    row = feats.first()
+    assert errs.count() == 0
+    assert row["clean_text"] is None and row["txt_len"] is None
+    assert row["session_id"] == 0 and row["sess_turn_no"] == 1
+    assert row["top_tools"] == []
+    assert row["ctx_last_tool"] is None
+    assert row["roll_cnt_5m"] == 1
+    assert row["roll_rel_len_5m"] is None  # null length stays null
+
+
+def test_context_no_match(spark):
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    t = spark.createDataFrame(
+        [("c1", 0, "user", "hello", "search", ts)], TRANSCRIPT_SCHEMA
+    )
+    c = spark.createDataFrame(
+        [("OTHER", ts, 0, 1.5, "x")], CONTEXT_SCHEMA
+    )
+    feats, _e, _m = extract_features(spark, t, c)
+    row = feats.first()
+    assert row["asof_ctx_value"] is None and row["asof_ctx_label"] is None
+
+
+def test_vocab_overflow_falls_back_to_stream(spark, transcripts_df, context_df):
+    """A vocabulary larger than MAX_VOCAB switches to the streaming
+    Arrow kernel — and the result is identical to the vocab plan on
+    the same input (the extra fake tools never match, the kernel path
+    recomputes from scratch)."""
+    big_vocab = [f"fake_tool_{i}" for i in range(MAX_VOCAB + 5)]
+    f_stream, _, m_stream = extract_features(
+        spark, transcripts_df, context_df, vocab=big_vocab
+    )
+    assert m_stream["topk_strategy"] == "stream"
+    f_vocab, _, m_vocab = extract_features(spark, transcripts_df, context_df)
+    assert m_vocab["topk_strategy"] == "vocab"
+
+    cols = ["conv_id", "ts", "turn_idx", "top_tools"]
+    a = sorted(map(tuple, (r[:3] + (tuple(r[3]),) for r in
+                           (tuple(x) for x in f_stream.select(cols).collect()))))
+    b = sorted(map(tuple, (r[:3] + (tuple(r[3]),) for r in
+                           (tuple(x) for x in f_vocab.select(cols).collect()))))
+    assert a == b and len(a) > 0
