@@ -612,6 +612,84 @@ FROM r WHERE rank <= 3
 """
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN top-3: the trained-coarse-quantizer scale path. Cells
+    are the per-label mean embeddings (deterministic + oracle-exact;
+    on a real corpus swap in k-means|| centers — the plan is
+    identical). Centroid components are rounded to 6dp in BOTH engines
+    BEFORE the distance argmin so partial-aggregation summation order
+    cannot flip an assignment."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cmean = flat.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("m"))
+    cent = (
+        cmean.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+        .select(
+            F.col("label").alias("cell_id"),
+            F.transform("_pm", lambda x: x.m).alias("centroid"),
+        )
+    )
+    probes = e.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return SIM.ivf_topk(e, probes, cent, k=3)
+
+
+_D2_SQL = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "(CAST({e}.embedding[CAST(i AS INT)] AS DOUBLE) - {c}.centroid[CAST(i AS INT)])"
+    " * (CAST({e}.embedding[CAST(i AS INT)] AS DOUBLE) - {c}.centroid[CAST(i AS INT)])"
+    "), (x, y) -> x + y)"
+)
+SQL_ANN_IVF_TOPK = f"""
+WITH flat AS (
+  SELECT label, CAST(u.i AS INT) AS pos,
+         CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, 65)) AS u(i)
+), cmean AS (
+  SELECT label, pos, ROUND(AVG(v), 6) AS m FROM flat GROUP BY label, pos
+), cent AS (
+  SELECT label AS cell_id, list(m ORDER BY pos) AS centroid
+  FROM cmean GROUP BY label
+), c_assign AS (
+  SELECT vec_id, cell_id, embedding FROM (
+    SELECT e.vec_id, c.cell_id, e.embedding,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_D2_SQL.format(e='e', c='c')} ASC,
+                                       c.cell_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+), p_assign AS (
+  SELECT vec_id AS probe_id, cell_id, embedding AS pv
+  FROM c_assign WHERE vec_id < {_N_PROBES}
+), pairs AS (
+  SELECT p.probe_id, a.vec_id,
+         list_reduce(list_transform(range(1, 65), i ->
+           CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+           * CAST(p.pv[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(range(1, 65), i ->
+              CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+              * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y))
+          * sqrt(list_reduce(list_transform(range(1, 65), i ->
+              CAST(p.pv[CAST(i AS INT)] AS DOUBLE)
+              * CAST(p.pv[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y))) AS cos
+  FROM c_assign a JOIN p_assign p USING (cell_id)
+  WHERE a.vec_id <> p.probe_id
+), r AS (
+  SELECT probe_id, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM pairs
+)
+SELECT probe_id, vec_id, ROUND(cos, 6) AS cos, rank FROM r WHERE rank <= 3
+"""
+
+
 def q_embed_label_stats(spark, sf_dir):
     """Per-label embedding stats: count + mean L2 norm."""
     e = _t(spark, sf_dir, "embeddings")
@@ -820,6 +898,7 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embed_label_stats": q_embed_label_stats,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_banded": q_dedup_embedding_banded,
@@ -843,6 +922,7 @@ ORACLES = {
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embed_label_stats": SQL_EMBED_LABEL_STATS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_banded": SQL_DEDUP_EMBEDDING_BANDED,

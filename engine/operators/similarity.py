@@ -187,6 +187,70 @@ def cosine_near_dups_banded(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "probe_id",
+    centroid_id: str = "cell_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: vectors are assigned to the nearest
+    coarse-quantizer centroid (their *cell*); a probe searches only its
+    own cell, exact cosine re-ranks inside it.
+
+    The centroid table is the trained coarse quantizer — tiny by
+    construction (k-means cells; here any (cell_id, centroid) frame,
+    e.g. per-label means, keeps it deterministic and oracle-checkable).
+    It broadcasts to BOTH assignment joins, so the corpus never
+    shuffles for assignment; the probe-to-cell join is a hash join on
+    the cell id — the same plan shape as `lsh_topk` with the sign code
+    swapped for a trained cell. Assignment = argmin squared L2 distance
+    (ties broken by smaller cell_id)."""
+    cent = F.broadcast(centroids.select(centroid_id, centroid_vec))
+
+    def assign(df: DataFrame, idc: str) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(
+                _to_double(F.col(vec_col)),
+                _to_double(F.col(centroid_vec)),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = df.crossJoin(cent).select(
+            F.col(idc), F.col(vec_col), F.col(centroid_id), d2.alias("_d2")
+        )
+        w = Window.partitionBy(idc).orderBy(
+            F.col("_d2").asc(), F.col(centroid_id).asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(idc, vec_col, centroid_id)
+        )
+
+    c_cells = assign(corpus.select(id_col, vec_col), id_col)
+    p_cells = F.broadcast(
+        assign(probes.select(probe_id, F.col(vec_col)), probe_id)
+        .withColumnRenamed(vec_col, "_pv")
+    )
+    pairs = c_cells.join(p_cells, centroid_id).filter(
+        F.col(id_col) != F.col(probe_id)
+    )
+    pairs = pairs.withColumn("cos", cosine(F.col(vec_col), F.col("_pv")))
+    w = Window.partitionBy(probe_id).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, id_col, F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def cosine_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,

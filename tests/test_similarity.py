@@ -150,3 +150,31 @@ def test_cosine_near_dups_planted(spark):
            for r in cosine_near_dups(df, threshold=0.95, bits=8).collect()}
     assert (0, 1) in got and got[(0, 1)] > 0.99
     assert not any(2 in p for p in got)
+
+
+def test_ivf_topk_searches_own_cell_only(spark):
+    """IVF: probes only see candidates assigned to the same centroid
+    cell; ranking inside the cell is exact cosine."""
+    from engine.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(loc=+3.0, size=(10, 16)).astype(np.float32)
+    b = rng.normal(loc=-3.0, size=(10, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in a[i]]) for i in range(10)]
+    rows += [(10 + i, [float(x) for x in b[i]]) for i in range(10)]
+    corpus = spark.createDataFrame(rows, SCHEMA)
+    cents = spark.createDataFrame(
+        [(0, [3.0] * 16), (1, [-3.0] * 16)],
+        "cell_id int, centroid array<double>",
+    )
+    probes = corpus.filter(F.col("vec_id").isin(0, 10)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    got = ivf_topk(corpus, probes, cents, k=3).collect()
+    for r in got:
+        same_cluster = (r["probe_id"] < 10) == (r["vec_id"] < 10)
+        assert same_cluster, r
+    assert {r["probe_id"] for r in got} == {0, 10}
+    for p in (0, 10):
+        ranks = sorted(r["rank"] for r in got if r["probe_id"] == p)
+        assert ranks == [1, 2, 3]
