@@ -40,6 +40,13 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=16)
     ap.add_argument("--session-gap-s", type=float, default=None)
     ap.add_argument("--roll-window-s", type=float, default=None)
+    ap.add_argument("--vocab", default=None,
+                    help="comma-separated tool vocabulary (catalog stat); "
+                    "omit to discover it with one narrow column scan")
+    ap.add_argument("--isolate-hot", action="store_true",
+                    help="route sampled zipf-hot conversations into their "
+                    "own batch (uniform hash-batch runtimes; per-hot-key "
+                    "commit + lineage)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -73,11 +80,14 @@ def main() -> None:
         kwargs["session_gap_s"] = args.session_gap_s
     if args.roll_window_s is not None:
         kwargs["roll_window_s"] = args.roll_window_s
+    if args.vocab is not None:
+        kwargs["vocab"] = [t for t in args.vocab.split(",") if t]
 
     io = TableIO(args.warehouse)
     summary = run_resumable(
         spark, transcripts, context, io,
-        job_id=args.job_id, n_batches=args.batches, **kwargs,
+        job_id=args.job_id, n_batches=args.batches,
+        isolate_hot=args.isolate_hot, **kwargs,
     )
     json.dump(summary, sys.stdout)
     print()
