@@ -80,6 +80,27 @@ def add_text_features(df: DataFrame) -> DataFrame:
 
 MAX_VOCAB = 64
 
+# P9 data-reduction profiles — the reference's resize-before-extraction
+# caps (utils.py:117-143 / image_processor.py:83-118: auto/high_quality/
+# performance downscale to 2000/4000/1000 px BEFORE the expensive OCR)
+# transplanted to transcripts: cap text LENGTH before the expensive text
+# kernel, and (performance) switch the rolling distinct to the HLL++
+# sketch. Same numbers as the reference's pixel caps, same position in
+# the pipeline (reduce ahead of the costly operator).
+REDUCTION_PROFILES: dict[str, dict] = {
+    "high_quality": {"max_text_chars": 4000, "approx_distinct": False},
+    "auto": {"max_text_chars": 2000, "approx_distinct": False},
+    "performance": {"max_text_chars": 1000, "approx_distinct": True},
+}
+
+
+def apply_reduction_profile(df: DataFrame, profile: str) -> DataFrame:
+    """Apply a P9 profile's input reduction (text-length cap) to the
+    transcript table. Codegen substring — runs inside the scan stage,
+    ahead of the Arrow text kernel."""
+    cap = REDUCTION_PROFILES[profile]["max_text_chars"]
+    return df.withColumn("text", F.substring(F.col("text"), 1, cap))
+
 
 def discover_tool_vocab(
     transcripts: DataFrame, max_size: int = MAX_VOCAB
@@ -117,8 +138,14 @@ def extract_features(
     num_partitions: int | None = None,
     repartition_before_text: bool | None = None,
     vocab: list[str] | None = None,
+    profile: str | None = None,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Return (features, errors, run_meta).
+
+    `profile`: optional P9 data-reduction profile (REDUCTION_PROFILES:
+    'high_quality' / 'auto' / 'performance') — caps text length ahead
+    of the text kernel and, for 'performance', switches the rolling
+    distinct to the HLL++ sketch. None = no reduction (exact).
 
     `vocab`: the tool vocabulary for the pure-codegen expanding-top-k
     formulation. Pass it explicitly (catalog stat / platform config) to
@@ -134,6 +161,14 @@ def extract_features(
     """
     t0 = time.time()
     good, errors = split_quarantine(transcripts)
+    # P9 reduction runs AFTER validation (reference order: validate →
+    # resize → extract, image_validator before utils.resize) so the
+    # ROW_TOO_LARGE gate still sees the original length — and BEFORE
+    # the expensive text kernel, which is the point of the profile.
+    approx_distinct = False
+    if profile is not None:
+        approx_distinct = REDUCTION_PROFILES[profile]["approx_distinct"]
+        good = apply_reduction_profile(good, profile)
 
     # Shuffle placement vs the Arrow text kernel — adaptive, because
     # Spark's Python-eval nodes do not advertise output partitioning,
@@ -161,7 +196,7 @@ def extract_features(
     good = W.add_lag_lead(good)
     good = W.add_sessionization(good, gap_s=session_gap_s)
     good = W.add_context_ffill(good)
-    good = W.add_rolling(good, window_s=roll_window_s)
+    good = W.add_rolling(good, window_s=roll_window_s, approx_distinct=approx_distinct)
     good = good.drop(W.TS_SEC)
 
     if context is not None:
@@ -188,6 +223,7 @@ def extract_features(
         "session_gap_s": session_gap_s,
         "roll_window_s": roll_window_s,
         "asof_strategy": asof_strategy,
+        "profile": profile,
         "topk_strategy": "vocab" if len(vocab) <= MAX_VOCAB else "stream",
         "vocab_size": len(vocab),
         "num_partitions": n_part,

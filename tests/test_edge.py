@@ -69,3 +69,28 @@ def test_vocab_overflow_falls_back_to_stream(spark, transcripts_df, context_df):
     b = sorted(map(tuple, (r[:3] + (tuple(r[3]),) for r in
                            (tuple(x) for x in f_vocab.select(cols).collect()))))
     assert a == b and len(a) > 0
+
+
+def test_reduction_profiles(spark, transcripts_df):
+    """P9 data-reduction profiles: text capped ahead of the kernel
+    (reference's resize-before-OCR, same 4000/2000/1000 caps), and the
+    'performance' profile flips the rolling distinct to the sketch.
+    Reduction applies AFTER validation, so quarantine still sees the
+    original row."""
+    from engine.pipeline import REDUCTION_PROFILES
+
+    f_perf, _e, m = extract_features(spark, transcripts_df, None, profile="performance")
+    assert m["profile"] == "performance"
+    cap = REDUCTION_PROFILES["performance"]["max_text_chars"]
+    mx = f_perf.agg(F.max(F.length("clean_text"))).first()[0]
+    assert mx is not None and mx <= cap  # clean_text never grows text
+
+    # exact pipeline on manually-capped input == profile pipeline
+    # (clean_text column; rolling distinct differs by design under
+    # approx, so compare the deterministic columns)
+    capped = transcripts_df.withColumn("text", F.substring("text", 1, cap))
+    f_ref, _, _ = extract_features(spark, capped, None)
+    cols = ["conv_id", "ts", "turn_idx", "clean_text", "txt_len", "session_id"]
+    a = sorted(map(tuple, f_perf.select(cols).collect()))
+    b = sorted(map(tuple, f_ref.select(cols).collect()))
+    assert a == b and len(a) > 0
