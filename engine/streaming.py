@@ -22,6 +22,11 @@ the caller's. Tests drive them with a file source + `availableNow`
 trigger into a memory sink and compare against the batch engine on the
 same rows (tests/test_streaming.py).
 
+- `stream_sessionize_exact` / `stream_top_tools` (+ `_tws`): custom
+  watermark-buffered state machines emitting BATCH-IDENTICAL per-turn
+  session indices and expanding top-k (rows buffer until the watermark
+  passes their event time, so the event-time prefix each emission sees
+  is final — arrival order never leaks into the result).
 - `stream_asof`: the point-in-time as-of join as a custom
   `applyInPandasWithState` state machine over the union-tagged probe +
   context streams — watermark-buffered, so results are EXACTLY the
@@ -555,5 +560,125 @@ def stream_top_tools_tws(
             outputStructType=TOPK_OUT_SCHEMA,
             outputMode="append",
             timeMode="eventTime",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact sessionization (batch-identical session ids)
+# ---------------------------------------------------------------------------
+
+SESS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("session_id", T.IntegerType()),
+        T.StructField("sess_turn_no", T.IntegerType()),
+    ]
+)
+
+_SESS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("p_ts", T.ArrayType(T.LongType())),  # pending, epoch ms
+        T.StructField("p_idx", T.ArrayType(T.LongType())),
+        T.StructField("last_ts", T.LongType()),            # -1 = none emitted
+        T.StructField("cur_sess", T.IntegerType()),
+        T.StructField("cur_turn", T.IntegerType()),
+    ]
+)
+
+
+def _make_sess_state_fn(gap_s: float):
+    gap_ms = int(gap_s * 1000)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        """Watermark-buffered exact sessionizer: emits the BATCH
+        engine's 0-based session_id / 1-based sess_turn_no per turn
+        (strict `gap > gap_s` boundary, (ts, turn_idx) order) — the
+        built-in session_window cannot produce session *indices*
+        (it keys sessions by window struct); this state machine can,
+        because emission is gated on the watermark so the event-time
+        prefix is final."""
+        conv_id = key[0]
+        if state.exists:
+            p_ts, p_idx, last_ts, cur_sess, cur_turn = state.get
+            pending = list(zip(p_ts, p_idx))
+        else:
+            pending, last_ts, cur_sess, cur_turn = [], -1, -1, 0
+
+        for pdf in pdfs:
+            pending.extend(
+                zip(
+                    (pdf["ts"].astype("int64") // 1_000_000).tolist(),
+                    pdf["turn_idx"].tolist(),
+                )
+            )
+
+        wm = state.getCurrentWatermarkMs()
+        emit = sorted((p for p in pending if p[0] <= wm), key=lambda p: (p[0], p[1]))
+        pending = sorted(
+            (p for p in pending if p[0] > wm), key=lambda p: (p[0], p[1])
+        )
+
+        out = []
+        for pts, pidx in emit:
+            if last_ts < 0 or pts - last_ts > gap_ms:
+                cur_sess += 1
+                cur_turn = 1
+            else:
+                cur_turn += 1
+            last_ts = pts
+            out.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": int(pidx),
+                    "ts": pd.Timestamp(pts, unit="ms"),
+                    "session_id": cur_sess,
+                    "sess_turn_no": cur_turn,
+                }
+            )
+
+        if pending or last_ts >= 0:
+            state.update((
+                [p[0] for p in pending], [p[1] for p in pending],
+                last_ts, cur_sess, cur_turn,
+            ))
+            if pending:
+                state.setTimeoutTimestamp(max(pending[0][0], wm + 1))
+        elif state.exists:
+            state.remove()
+
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in SESS_OUT_SCHEMA.fields]
+            )
+
+    return fn
+
+
+def stream_sessionize_exact(
+    df: DataFrame,
+    gap_s: float = SESSION_GAP_S,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-turn streaming sessionization with EXACT batch semantics:
+    0-based session_id / 1-based sess_turn_no identical to
+    operators/core.sessionize on the same rows (strict gap boundary).
+    Complements `stream_sessionize` (built-in session_window per-session
+    aggregates) by carrying the session *index*, which requires ordered
+    per-conversation state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        df.withWatermark("ts", watermark)
+        .select("conv_id", "ts", "turn_idx")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _make_sess_state_fn(gap_s),
+            outputStructType=SESS_OUT_SCHEMA,
+            stateStructType=_SESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

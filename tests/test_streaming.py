@@ -206,3 +206,36 @@ def test_stream_top_tools_tws_matches_batch(spark, transcripts_df, stream_source
         if list(r["top_tools_s"]) != list(r["top_tools_b"])
     ]
     assert not bad, bad[:5]
+
+
+def test_stream_sessionize_exact_matches_batch(spark, transcripts_df, stream_source):
+    """Exact streaming sessionizer emits the batch engine's session
+    ids and turn numbers (not just per-session aggregates)."""
+    from engine.operators.core import sessionize
+    from engine.streaming import stream_sessionize_exact
+
+    sdf = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_source)
+    out = stream_sessionize_exact(sdf, gap_s=SESSION_GAP_S, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_exact")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "SELECT conv_id, turn_idx, session_id, sess_turn_no FROM sess_exact"
+    ).toPandas()
+
+    exp = (
+        sessionize(transcripts_df, "conv_id", "ts", "turn_idx", SESSION_GAP_S,
+                   seq_col="sess_turn_no")
+        .select("conv_id", "turn_idx", "session_id", "sess_turn_no")
+        .toPandas()
+    )
+    assert len(got) > 0.9 * len(exp), (len(got), len(exp))
+    merged = got.merge(exp, on=["conv_id", "turn_idx"], suffixes=("_s", "_b"), how="left")
+    for col in ("session_id", "sess_turn_no"):
+        same = merged[f"{col}_s"] == merged[f"{col}_b"]
+        assert same.all(), merged.loc[~same].head()
