@@ -389,6 +389,46 @@ FROM arr
 # Deduplication
 # ---------------------------------------------------------------------------
 
+def q_doc_split_assign(spark, sf_dir):
+    """Deterministic stratified train/val/test assignment — the split a
+    training pipeline must reproduce bit-identically across engines and
+    re-runs (so rand()/sampleBy are out): the split key is the md5 of
+    (source '#' doc_id), its first 8 hex chars as a uniform fraction in
+    [0,1); train < 0.8 <= val < 0.9 <= test. Stratification comes free:
+    hashing is uniform WITHIN each source by construction. Narrow
+    per-row projection + one count aggregate per (source, split)."""
+    d = _t(spark, sf_dir, "documents")
+    frac = (
+        F.conv(F.substring(F.md5(F.concat_ws("#", "source", "doc_id")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+    split = (
+        F.when(frac < 0.8, "train").when(frac < 0.9, "val").otherwise("test")
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_DOC_SPLIT_ASSIGN = """
+WITH a AS (
+  SELECT source,
+         CAST(CAST('0x' || substr(md5(source || '#' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS UBIGINT) AS DOUBLE) / 4294967296.0 AS frac
+  FROM documents
+)
+SELECT source,
+       CASE WHEN frac < 0.8 THEN 'train'
+            WHEN frac < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n
+FROM a GROUP BY 1, 2
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return DD.exact_dedup_groups(d)
@@ -889,6 +929,7 @@ QUERIES = {
     "doc_regex_extract": q_doc_regex_extract,
     "doc_tfidf_topk": q_doc_tfidf_topk,
     "doc_enrich_join": q_doc_enrich_join,
+    "doc_split_assign": q_doc_split_assign,
     "topk_padded": q_topk_padded,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -913,6 +954,7 @@ ORACLES = {
     "doc_regex_extract": SQL_DOC_REGEX_EXTRACT,
     "doc_tfidf_topk": SQL_DOC_TFIDF_TOPK,
     "doc_enrich_join": SQL_DOC_ENRICH_JOIN,
+    "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,
     "topk_padded": SQL_TOPK_PADDED,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,

@@ -130,6 +130,55 @@ class TableIO:
         os.replace(tmp, self._manifest_path(table, run_id))  # THE commit
         return manifest
 
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        target_files: int = 8,
+        ts_col: str | None = "ts",
+    ) -> dict:
+        """Rewrite ALL currently-committed snapshots into one compacted
+        snapshot of `target_files` files (the small-files maintenance
+        pass: a 10^12-turn table appended in thousands of batches
+        accumulates file counts that slow every subsequent scan; Iceberg
+        calls this rewrite_data_files).
+
+        Protocol: write the compacted data as a new snapshot whose
+        manifest carries `replaces: [run_ids...]`; `read()` skips any
+        manifest listed as replaced. Crash-safe by the same atomic-
+        rename commit: a crash mid-compaction leaves invisible staging
+        data and the old snapshots intact. `is_committed` keeps
+        answering True for replaced run_ids, so resumable jobs never
+        re-run batches that were compacted away."""
+        replaced = self._replaced(table)
+        compactions = [
+            r for r in self.committed_runs(table)
+            if self.read_manifest(table, r).get("replaces") and r not in replaced
+        ]
+        runs = [
+            r for r in self.committed_runs(table)
+            if not self.read_manifest(table, r).get("replaces")
+            and r not in replaced
+        ]
+        if not runs:
+            if compactions:  # idempotent: nothing new since last compaction
+                return self.read_manifest(table, max(compactions))
+            raise FileNotFoundError(f"nothing to compact for table {table!r}")
+        df = self.read(spark, table).coalesce(target_files)
+        run_id = f"compact-{max(runs)}-{len(runs)}"
+        if self.is_committed(table, run_id):
+            return self.read_manifest(table, run_id)
+        return self.append(
+            spark, df, table, run_id, ts_col=ts_col,
+            extra_meta={"replaces": runs},
+        )
+
+    def _replaced(self, table: str) -> set[str]:
+        out: set[str] = set()
+        for r in self.committed_runs(table):
+            out.update(self.read_manifest(table, r).get("replaces") or [])
+        return out
+
     # -- reads -------------------------------------------------------------
     def committed_runs(self, table: str) -> list[str]:
         d = self._manifest_dir(table)
@@ -150,10 +199,21 @@ class TableIO:
         staging data from crashed runs is invisible.
 
         `as_of`: time-travel (Iceberg snapshot-isolation analog) — read
-        only snapshots whose run_id sorts <= `as_of`."""
+        only snapshots whose run_id sorts <= `as_of`. Snapshots listed
+        in a committed compaction's `replaces` are skipped (their rows
+        live in the compacted snapshot); with `as_of`, compactions
+        committed after the cut are ignored entirely, so time-travel
+        still sees the original snapshots."""
+        replaced: set[str] = set()
+        for run_id in self.committed_runs(table):
+            if as_of is not None and run_id > as_of:
+                continue
+            replaced.update(self.read_manifest(table, run_id).get("replaces") or [])
         files: list[str] = []
         for run_id in self.committed_runs(table):
             if as_of is not None and run_id > as_of:
+                continue
+            if run_id in replaced:
                 continue
             files += [e["file"] for e in self.read_manifest(table, run_id)["files"]]
         if not files:

@@ -117,3 +117,34 @@ def test_hot_isolation_batch(spark, transcripts_df, context_df, io):
         n_batches=3, isolate_hot=True, hot_sample_frac=0.5,
     )
     assert all(x["status"] == "skipped" for x in again["batches"])
+
+
+def test_compaction_preserves_reads_and_resume(spark, transcripts_df, context_df, io):
+    """compact() rewrites committed snapshots into few files: same
+    rows, fewer files, is_committed still True for replaced run_ids
+    (resume never re-runs compacted batches), time-travel to a
+    pre-compaction run_id still sees the original snapshots."""
+    summary = run_resumable(
+        spark, transcripts_df, context_df, io, job_id="jobc", n_batches=3
+    )
+    expected = summary["total_rows"]
+    n_files_before = sum(
+        io.read_manifest("features", r)["n_files"]
+        for r in io.committed_runs("features")
+    )
+
+    m = io.compact(spark, "features", target_files=2)
+    assert m["replaces"] == [f"jobc-b{b:04d}" for b in range(3)]
+    assert io.read(spark, "features").count() == expected
+    assert m["n_files"] <= 2 < n_files_before
+    # resume still skips every original batch
+    again = run_resumable(
+        spark, transcripts_df, context_df, io, job_id="jobc", n_batches=3
+    )
+    assert all(x["status"] == "skipped" for x in again["batches"])
+    # time-travel to before the compaction sees the original snapshots
+    assert io.read(spark, "features", as_of="jobc-b0000").count() > 0
+    # compacting twice is a no-op (nothing new to compact besides the
+    # compaction snapshot itself, which is excluded)
+    m2 = io.compact(spark, "features", target_files=2)
+    assert m2["run_id"] == m["run_id"]
