@@ -68,16 +68,26 @@ class TableIO:
         run_id: str,
         ts_col: str | None = "ts",
         extra_meta: dict | None = None,
+        partition_by: list[str] | None = None,
     ) -> dict:
         """Stage `df` as a new snapshot and atomically commit its
         manifest. Returns the manifest. No-op (returns the existing
-        manifest) if run_id is already committed."""
+        manifest) if run_id is already committed.
+
+        `partition_by`: hive-partition the snapshot's data files by
+        these columns (e.g. an event-date column) — readers filtering
+        on them then prune whole directories before any IO; the
+        manifest's per-file lineage keys the partition values in the
+        file paths. The Iceberg analog is the table's partition spec."""
         if self.is_committed(table, run_id):
             return self.read_manifest(table, run_id)
 
         data_dir = self._data_dir(table, run_id)
         t0 = time.time()
-        df.write.mode("overwrite").parquet(data_dir)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
 
         # Per-FILE lineage from the staged snapshot: one footer-cheap
         # aggregation pass grouped by input_file_name. Files are the
@@ -115,6 +125,7 @@ class TableIO:
         manifest = {
             "table": table,
             "run_id": run_id,
+            "partition_by": partition_by or [],
             "committed_at_epoch_s": time.time(),
             "elapsed_s": round(time.time() - t0, 3),
             "total_rows": total_rows,
@@ -209,13 +220,33 @@ class TableIO:
             if as_of is not None and run_id > as_of:
                 continue
             replaced.update(self.read_manifest(table, run_id).get("replaces") or [])
-        files: list[str] = []
+        flat: list[str] = []
+        partitioned: dict[str, list[str]] = {}
         for run_id in self.committed_runs(table):
             if as_of is not None and run_id > as_of:
                 continue
             if run_id in replaced:
                 continue
-            files += [e["file"] for e in self.read_manifest(table, run_id)["files"]]
-        if not files:
+            m = self.read_manifest(table, run_id)
+            fs = [e["file"] for e in m["files"]]
+            if m.get("partition_by"):
+                # hive-partitioned snapshot: explicit file lists drop
+                # the partition columns unless read under their basePath
+                partitioned[run_id] = fs
+            else:
+                flat += fs
+        if not flat and not partitioned:
             raise FileNotFoundError(f"no committed snapshots for table {table!r}")
-        return spark.read.parquet(*files)
+        dfs = []
+        if flat:
+            dfs.append(spark.read.parquet(*flat))
+        for run_id, fs in partitioned.items():
+            dfs.append(
+                spark.read.option(
+                    "basePath", self._data_dir(table, run_id)
+                ).parquet(*fs)
+            )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out

@@ -148,3 +148,30 @@ def test_compaction_preserves_reads_and_resume(spark, transcripts_df, context_df
     # compaction snapshot itself, which is excluded)
     m2 = io.compact(spark, "features", target_files=2)
     assert m2["run_id"] == m["run_id"]
+
+
+def test_partitioned_snapshot_prunes(spark, transcripts_df, io):
+    """partition_by snapshots: the partition column round-trips through
+    the manifest read, and a filter on it scans only that partition's
+    files (directory pruning before any IO)."""
+    from pyspark.sql import functions as F
+
+    df = transcripts_df.withColumn("dt", F.to_date("ts"))
+    io.append(spark, df, "part_feats", "run-p1", partition_by=["dt"])
+    m = io.read_manifest("part_feats", "run-p1")
+    assert m["partition_by"] == ["dt"]
+    assert all("/dt=" in e["file"] for e in m["files"])
+
+    back = io.read(spark, "part_feats")
+    assert back.count() == df.count()
+    assert "dt" in back.columns  # restored via basePath
+
+    one_day = back.select("dt").first()["dt"]
+    pruned = back.filter(F.col("dt") == F.lit(one_day))
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+    mm = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert mm and "dt" in mm.group(1), plan[:2000]
+    assert pruned.count() == df.filter(F.col("dt") == F.lit(one_day)).count()
