@@ -27,13 +27,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _heavy(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read + round-robin repartition for compute-heavy per-row queries:
-    the test tables are single parquet files, so the scan is ONE task —
-    per-row md5/regex work would run serially without this. At real
-    scale the input has many files and this repartition is a no-op
-    cost-wise relative to the compute it parallelizes."""
+    """Read for compute-heavy per-row queries, repartitioning ONLY when
+    the scan is under-parallel (same adaptive doctrine as the flagship
+    pipeline, engine/pipeline.py): the test tables are single parquet
+    files — one scan task would run all the per-row md5/regex work
+    serially — but at real scale the input has many splits and a blind
+    repartition would add a full extra shuffle of the text for
+    nothing."""
     df = _t(spark, sf_dir, name)
-    return df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < max(2, n_part // 2):
+        df = df.repartition(n_part)
+    return df
 
 
 # ---------------------------------------------------------------------------
