@@ -27,7 +27,7 @@ bit-exactly — no engine-specific hash functions anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,7 @@ Conventions for oracle hash-parity:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from engine.operators import core
 from engine.operators.asof import asof_join
