@@ -552,6 +552,29 @@ SELECT id AS doc_id, lab AS cluster_id FROM l4
 """
 
 
+def q_dedup_apply(spark, sf_dir):
+    """The dedup DECISION actually executed by a training pipeline:
+    keep exactly one document per near-dup cluster (the min-id
+    canonical), i.e. the deduped corpus manifest. Composition of
+    near_dup_clusters + a filter — at scale this is the keep-list
+    joined back to the corpus (broadcast when clusters ≪ corpus)."""
+    d = _heavy(spark, sf_dir, "documents")
+    clusters = DD.near_dup_clusters(d, threshold=0.2)
+    return (
+        clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+        .join(d.select("doc_id", "source", "n_chars"), "doc_id")
+    )
+
+
+SQL_DEDUP_APPLY = f"""
+WITH cc AS ({SQL_DEDUP_CLUSTERS})
+SELECT d.doc_id, d.source, d.n_chars
+FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+WHERE cc.doc_id = cc.cluster_id
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     d = _heavy(spark, sf_dir, "documents")
     return DD.simhash16(d)
@@ -940,6 +963,7 @@ QUERIES = {
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_near_pairs": q_dedup_near_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_apply": q_dedup_apply,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -965,6 +989,7 @@ ORACLES = {
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
     "dedup_near_pairs": SQL_DEDUP_NEAR_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_apply": SQL_DEDUP_APPLY,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

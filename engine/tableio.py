@@ -184,6 +184,34 @@ class TableIO:
             extra_meta={"replaces": runs},
         )
 
+    def lineage(self, spark: SparkSession, table: str) -> DataFrame:
+        """Per-FILE lineage across all committed snapshots as a
+        DataFrame (run_id, file, rows, bytes, watermark_lo/hi,
+        replaced) — the audit surface for 'metrics committed with the
+        snapshot': answerable with plain SQL, e.g. rows per day, bytes
+        per snapshot, watermark gaps."""
+        replaced = self._replaced(table)
+        rows = []
+        for run_id in self.committed_runs(table):
+            m = self.read_manifest(table, run_id)
+            for e in m["files"]:
+                rows.append(
+                    (
+                        run_id,
+                        e["file"],
+                        e["rows"],
+                        e.get("bytes"),
+                        e.get("watermark_lo"),
+                        e.get("watermark_hi"),
+                        run_id in replaced,
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "run_id string, file string, rows long, bytes long, "
+            "watermark_lo string, watermark_hi string, replaced boolean",
+        )
+
     def _replaced(self, table: str) -> set[str]:
         out: set[str] = set()
         for r in self.committed_runs(table):

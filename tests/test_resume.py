@@ -175,3 +175,18 @@ def test_partitioned_snapshot_prunes(spark, transcripts_df, io):
     mm = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert mm and "dt" in mm.group(1), plan[:2000]
     assert pruned.count() == df.filter(F.col("dt") == F.lit(one_day)).count()
+
+
+def test_lineage_dataframe(spark, transcripts_df, context_df, io):
+    summary = run_resumable(
+        spark, transcripts_df, context_df, io, job_id="jobl", n_batches=2
+    )
+    lin = io.lineage(spark, "features")
+    assert lin.filter("replaced").count() == 0
+    from pyspark.sql import functions as F
+
+    per_run = {r["run_id"]: r["n"] for r in
+               lin.groupBy("run_id").agg(F.sum("rows").alias("n")).collect()}
+    for x in summary["batches"]:
+        assert per_run[f"jobl-b{x['batch']:04d}"] == x["rows"]
+    assert lin.filter("watermark_lo IS NULL").count() == 0
