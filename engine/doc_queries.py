@@ -814,22 +814,33 @@ FROM m
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (sign-LSH blocked, cos >= 0.9)."""
+    """Embedding-cosine near-dup pairs (single sign-LSH code block,
+    cos >= 0.9) — the oracle-simple small-scale variant; the banded
+    query below is the 100 TB blocking scheme.
+
+    The test corpus has no natural near-dups (max pairwise cos ~0.51),
+    so — like the banded query — this plants them deterministically:
+    each vec_id < 50 gains a perturbed copy (id + 100000) whose first 8
+    dims are UNCHANGED (so the 8-bit sign code blocks the pair
+    together) and whose remaining dims are scaled (x -> 0.9x + 0.01,
+    cos ~0.99). A non-vacuous driver check: the query must return
+    exactly these 50 pairs (plus any code-blocked natural pair above
+    threshold)."""
     e = _t(spark, sf_dir, "embeddings")
-    return SIM.cosine_near_dups(e, threshold=0.9)
-
-
-SQL_DEDUP_EMBEDDING = """
-WITH c AS (
-  SELECT vec_id, embedding, CASE WHEN embeddings.embedding[1] > 0 THEN 1 ELSE 0 END + CASE WHEN embeddings.embedding[2] > 0 THEN 2 ELSE 0 END + CASE WHEN embeddings.embedding[3] > 0 THEN 4 ELSE 0 END + CASE WHEN embeddings.embedding[4] > 0 THEN 8 ELSE 0 END + CASE WHEN embeddings.embedding[5] > 0 THEN 16 ELSE 0 END + CASE WHEN embeddings.embedding[6] > 0 THEN 32 ELSE 0 END + CASE WHEN embeddings.embedding[7] > 0 THEN 64 ELSE 0 END + CASE WHEN embeddings.embedding[8] > 0 THEN 128 ELSE 0 END AS code
-  FROM embeddings
-), p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y))) AS cos
-  FROM c a JOIN c b ON a.code = b.code AND a.vec_id < b.vec_id
-)
-SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM p WHERE cos >= 0.9
-"""
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i < 8, x.cast("double")).otherwise(
+                x.cast("double") * 0.9 + 0.01
+            ),
+        ).alias("embedding"),
+    )
+    return SIM.cosine_near_dups(base.unionByName(pert), threshold=0.9)
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
@@ -919,6 +930,27 @@ def _cos_vv_sql(a: str, b: str) -> str:
     na = f"sqrt({_DOT_VV_SQL.format(a=a, b=a)})"
     nb = f"sqrt({_DOT_VV_SQL.format(a=b, b=b)})"
     return f"{dot} / ({na} * {nb})"
+
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(range(1, 65), i -> CASE WHEN i <= 8
+             THEN CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+             ELSE CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 0.9 + 0.01 END)
+  FROM embeddings WHERE vec_id < 50
+), c AS (
+  SELECT vec_id, v, {_band_code_sql(0, bits=8)} AS code FROM base
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_cos_vv_sql('a.v', 'b.v')} AS cos
+  FROM c a JOIN c b ON a.code = b.code AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM p WHERE cos >= 0.9
+"""
 
 
 SQL_DEDUP_EMBEDDING_BANDED = f"""

@@ -224,8 +224,10 @@ def connected_components(
     of labels against the (sparse) edge list + one aggregate; rounds =
     graph diameter. Near-dup graphs are forests of tiny cliques, so
     this converges in a handful of rounds; for adversarial long-chain
-    graphs at 100 TB swap in the large-star/small-star contraction
-    (Kiveris et al.), which is O(log²) rounds over the same join shape.
+    graphs (diameter > max_iter) use `connected_components_star`
+    (large-star/small-star contraction, O(log²) rounds). Raises
+    RuntimeError instead of silently returning truncated labels when
+    max_iter is exhausted before the fixpoint.
     Labels are localCheckpoint()ed every round to truncate lineage."""
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -255,7 +257,123 @@ def connected_components(
         labels = new.drop("_old")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): the graph diameter exceeds "
+            f"max_iter — use connected_components_star (O(log²) rounds) or "
+            f"raise max_iter"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("lab").alias("cluster_id"))
+
+
+def connected_components_star(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the scale path for adversarial graphs whose
+    diameter exceeds what per-round label propagation can afford:
+    converges in O(log² n) rounds independent of diameter, where
+    `connected_components` needs diameter-many rounds.
+
+    Per round (both halves are one groupBy-shuffle over the edge list;
+    vertex payloads are two ids — text/vectors never enter):
+
+    - large-star: for every node u, connect every neighbor v > u to
+      m = min(Γ(u) ∪ {u})   — hangs big nodes off the local minimum,
+      halving long chains;
+    - small-star: orient edges to (hi=max, lo=min); for every node u,
+      connect u and all its smaller neighbors to their collective
+      minimum — flattens partial stars.
+
+    Fixpoint when the edge multiset is unchanged (checked with a
+    count + xxhash64-XOR fingerprint: one cheap action per round, same
+    driver-coordination shape as the propagation variant but only
+    O(log²) of them). Returns (id_col, cluster_id), cluster_id = the
+    component's minimum vertex id; singletons label themselves.
+    """
+    edges = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("lo"),
+            F.greatest("id_a", "id_b").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _fingerprint(e: DataFrame) -> tuple:
+        # XOR, not SUM: order-independent over the distinct edge set
+        # and cannot overflow under ANSI arithmetic
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("lo", "hi")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = _fingerprint(edges)
+    for _ in range(max_iter):
+        # large-star: group by u over the symmetric edge list
+        sym = edges.select(
+            F.col("lo").alias("u"), F.col("hi").alias("v")
+        ).unionByName(edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+        grouped = sym.groupBy("u").agg(
+            F.collect_list("v").alias("nbrs"), F.min("v").alias("_minn")
+        )
+        m = F.least(F.col("u"), F.col("_minn"))
+        large = (
+            grouped.select(
+                F.explode(
+                    F.filter(F.col("nbrs"), lambda v: v > F.col("u"))
+                ).alias("v"),
+                m.alias("m"),
+            )
+            .filter(F.col("v") != F.col("m"))
+            .select(F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi"))
+            .distinct()
+        )
+        # small-star: edges oriented hi→lo; connect hi and all its
+        # smaller neighbors to their collective minimum
+        sgrp = large.groupBy(F.col("hi").alias("u")).agg(
+            F.collect_list("lo").alias("nbrs"), F.min("lo").alias("m")
+        )
+        small = (
+            sgrp.select(
+                F.explode(
+                    F.array_union(F.col("nbrs"), F.array(F.col("u")))
+                ).alias("v"),
+                F.col("m"),
+            )
+            .filter(F.col("v") != F.col("m"))
+            .select(F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_fp = _fingerprint(small)
+        edges = small
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # at the fixpoint every edge is (center=lo, member=hi)
+    labels = edges.select(
+        F.col("hi").alias("id"), F.col("lo").alias("cluster_id")
+    )
+    return (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("cluster_id", "id").alias("cluster_id"),
+        )
+    )
 
 
 def near_dup_clusters(
@@ -266,14 +384,20 @@ def near_dup_clusters(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    algorithm: str = "label",
 ) -> DataFrame:
     """End-to-end near-duplicate clustering: MinHash-LSH verified pairs
     → connected components → (doc_id, cluster_id). The dedup decision a
-    training pipeline actually executes: keep min-id per cluster."""
+    training pipeline actually executes: keep min-id per cluster.
+
+    `algorithm`: 'label' (min-label propagation; rounds = diameter,
+    right for near-dup clique forests) or 'star' (large-star/small-star
+    contraction; O(log²) rounds, right for adversarial chains)."""
     pairs = verified_near_dups(
         df, id_col, text_col, num_hashes, bands, shingle_n, threshold
     ).select("id_a", "id_b")
-    return connected_components(df.select(id_col), pairs, id_col)
+    cc = connected_components_star if algorithm == "star" else connected_components
+    return cc(df.select(id_col), pairs, id_col)
 
 
 # ---------------------------------------------------------------------------

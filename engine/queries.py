@@ -297,8 +297,9 @@ WITH o AS (
   FROM s GROUP BY user_id, session_id
 )
 SELECT COUNT(*) AS n_sessions,
-       SUM(CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL
-                 AND last_purchase >= first_view THEN 1 ELSE 0 END) AS n_converted,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL
+                 AND last_purchase >= first_view THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_converted,
        ROUND(AVG(CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL
                  AND last_purchase >= first_view THEN 1.0 ELSE 0.0 END), 6)
          AS conversion_rate

@@ -217,7 +217,12 @@ def _asof_state_fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.Data
             )
             for pts, pidx, prole, ptext, ptool in emit:
                 while j < len(cand) and cand[j][0] <= pts:
-                    best = cand[j]
+                    # only advance on a strictly later (ts, idx): a
+                    # context row AT the watermark boundary with a
+                    # smaller idx than the stored floor must not win
+                    # over it (batch tie-break is max-(ts, idx))
+                    if best is None or (cand[j][0], cand[j][1]) > (best[0], best[1]):
+                        best = cand[j]
                     j += 1
                 out_rows.append(
                     {

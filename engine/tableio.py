@@ -60,6 +60,32 @@ class TableIO:
     def is_committed(self, table: str, run_id: str) -> bool:
         return os.path.exists(self._manifest_path(table, run_id))
 
+    def _commit_order(self, table: str) -> list[tuple[tuple, str]]:
+        """Committed manifests in COMMIT order as [(key, run_id)].
+
+        Ordering key is the monotonic `commit_seq` stamped at append
+        time (Iceberg's sequence-number analog) — NOT run_id
+        lexicographic order, which is wrong the moment run_ids from
+        different naming schemes coexist (e.g. a 'compact-…' snapshot
+        sorts before 'jobc-…' run_ids even though it committed after
+        them). Legacy manifests without commit_seq order by their
+        committed_at wall clock (epoch seconds ≫ any seq, so they sort
+        after stamped ones only in never-written-here mixed tables)."""
+        out = []
+        for run_id in self.committed_runs(table):
+            m = self.read_manifest(table, run_id)
+            key = (m.get("commit_seq", m.get("committed_at_epoch_s", 0.0)), run_id)
+            out.append((key, run_id))
+        out.sort()
+        return out
+
+    def _next_seq(self, table: str) -> int:
+        seqs = [
+            self.read_manifest(table, r).get("commit_seq", 0)
+            for r in self.committed_runs(table)
+        ]
+        return (max(seqs) if seqs else 0) + 1
+
     def append(
         self,
         spark: SparkSession,
@@ -125,6 +151,7 @@ class TableIO:
         manifest = {
             "table": table,
             "run_id": run_id,
+            "commit_seq": self._next_seq(table),
             "partition_by": partition_by or [],
             "committed_at_epoch_s": time.time(),
             "elapsed_s": round(time.time() - t0, 3),
@@ -173,7 +200,11 @@ class TableIO:
         ]
         if not runs:
             if compactions:  # idempotent: nothing new since last compaction
-                return self.read_manifest(table, max(compactions))
+                latest = next(
+                    r for _, r in reversed(self._commit_order(table))
+                    if r in set(compactions)
+                )
+                return self.read_manifest(table, latest)
             raise FileNotFoundError(f"nothing to compact for table {table!r}")
         df = self.read(spark, table).coalesce(target_files)
         run_id = f"compact-{max(runs)}-{len(runs)}"
@@ -238,21 +269,29 @@ class TableIO:
         staging data from crashed runs is invisible.
 
         `as_of`: time-travel (Iceberg snapshot-isolation analog) — read
-        only snapshots whose run_id sorts <= `as_of`. Snapshots listed
-        in a committed compaction's `replaces` are skipped (their rows
-        live in the compacted snapshot); with `as_of`, compactions
-        committed after the cut are ignored entirely, so time-travel
-        still sees the original snapshots."""
+        only snapshots that COMMITTED at or before `as_of`'s commit, in
+        `commit_seq` order (never run_id lexicographic order — see
+        `_commit_order`). Snapshots listed in a committed compaction's
+        `replaces` are skipped (their rows live in the compacted
+        snapshot); a compaction always carries a higher commit_seq than
+        everything it replaces, so an `as_of` at a pre-compaction run
+        excludes the compaction and still sees the originals."""
+        order = self._commit_order(table)
+        if as_of is not None:
+            cut = next((key for key, r in order if r == as_of), None)
+            if cut is None:
+                raise FileNotFoundError(
+                    f"as_of run_id {as_of!r} is not a committed snapshot of "
+                    f"table {table!r}"
+                )
+            order = [(key, r) for key, r in order if key <= cut]
+        included = [r for _, r in order]
         replaced: set[str] = set()
-        for run_id in self.committed_runs(table):
-            if as_of is not None and run_id > as_of:
-                continue
+        for run_id in included:
             replaced.update(self.read_manifest(table, run_id).get("replaces") or [])
         flat: list[str] = []
         partitioned: dict[str, list[str]] = {}
-        for run_id in self.committed_runs(table):
-            if as_of is not None and run_id > as_of:
-                continue
+        for run_id in included:
             if run_id in replaced:
                 continue
             m = self.read_manifest(table, run_id)

@@ -33,7 +33,7 @@ on the classpath (`IcebergTableIO.available(spark)`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class IcebergTableIO:
@@ -66,9 +66,12 @@ class IcebergTableIO:
     def is_committed(self, spark: SparkSession, table: str, run_id: str) -> bool:
         if not spark.catalog.tableExists(self._tbl(table)):
             return False
+        # Column-expression filter, not SQL-string interpolation: a
+        # run_id containing a quote must not break (or inject into)
+        # the predicate.
         n = (
             spark.sql(f"SELECT summary FROM {self._tbl(table)}.snapshots")
-            .where(f"summary['run_id'] = '{run_id}'")
+            .where(F.col("summary")["run_id"] == F.lit(run_id))
             .count()
         )
         return n > 0
@@ -108,7 +111,7 @@ class IcebergTableIO:
                 f"SELECT snapshot_id, committed_at, summary "
                 f"FROM {self._tbl(table)}.snapshots"
             )
-            .where(f"summary['run_id'] = '{run_id}'")
+            .where(F.col("summary")["run_id"] == F.lit(run_id))
             .collect()
         )
         if not rows:

@@ -150,6 +150,64 @@ def test_connected_components_chain_and_singletons(spark):
     assert got == {0: 0, 1: 1, 4: 1, 6: 1, 7: 1, 2: 2, 3: 2, 5: 5}
 
 
+def test_connected_components_star_differential(spark):
+    """Large-star/small-star contraction agrees with min-label
+    propagation on a mixed graph: cliques, a chain, singletons."""
+    from engine.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [
+            (1, 4), (4, 6), (6, 7), (2, 3),          # chain + pair
+            (10, 11), (11, 12), (10, 12),            # triangle
+            (15, 18), (18, 16), (16, 19), (19, 15),  # cycle
+        ],
+        "id_a long, id_b long",
+    )
+    lab = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(vertices, pairs).collect()
+    }
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(vertices, pairs).collect()
+    }
+    assert star == lab
+    assert star[15] == star[16] == star[18] == star[19] == 15
+    assert star[0] == 0 and star[5] == 5  # singletons
+
+
+def test_connected_components_star_long_chain(spark):
+    """The adversarial case the propagation variant cannot afford: a
+    path graph of diameter 119. Star contraction converges in O(log²)
+    rounds (asserted <= 12 here); min-label propagation at its default
+    25-round cap now RAISES instead of silently returning truncated
+    labels (ADVICE r2)."""
+    import pytest
+
+    from engine.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 120
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(vertices, pairs, max_iter=12).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(vertices, pairs)
+
+
 def test_near_dup_clusters_planted(docs):
     """Docs 1/2/3 (exact dups after normalization? no — shingles are
     case-sensitive: 1,2 identical; 3 near; 4 near) cluster together at

@@ -132,6 +132,9 @@ def test_compaction_preserves_reads_and_resume(spark, transcripts_df, context_df
         io.read_manifest("features", r)["n_files"]
         for r in io.committed_runs("features")
     )
+    # as-of counts BEFORE compaction — must be bit-identical after
+    asof_b0_before = io.read(spark, "features", as_of="jobc-b0000").count()
+    assert 0 < asof_b0_before < expected
 
     m = io.compact(spark, "features", target_files=2)
     assert m["replaces"] == [f"jobc-b{b:04d}" for b in range(3)]
@@ -142,8 +145,17 @@ def test_compaction_preserves_reads_and_resume(spark, transcripts_df, context_df
         spark, transcripts_df, context_df, io, job_id="jobc", n_batches=3
     )
     assert all(x["status"] == "skipped" for x in again["batches"])
-    # time-travel to before the compaction sees the original snapshots
-    assert io.read(spark, "features", as_of="jobc-b0000").count() > 0
+    # time-travel to before the compaction sees EXACTLY the original
+    # snapshot subset — not the compaction (which replaces batches
+    # committed after the cut and sorts lexicographically BEFORE the
+    # job run_ids; ordering is by commit_seq, not run_id strings)
+    asof_b0_after = io.read(spark, "features", as_of="jobc-b0000").count()
+    assert asof_b0_after == asof_b0_before
+    # the compaction snapshot itself is a valid as_of target: full table
+    assert io.read(spark, "features", as_of=m["run_id"]).count() == expected
+    # an unknown as_of is an error, not a silent full-table read
+    with pytest.raises(FileNotFoundError):
+        io.read(spark, "features", as_of="nonexistent-run")
     # compacting twice is a no-op (nothing new to compact besides the
     # compaction snapshot itself, which is excluded)
     m2 = io.compact(spark, "features", target_files=2)
