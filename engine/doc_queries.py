@@ -681,12 +681,15 @@ FROM r WHERE rank <= 3
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN top-3: the trained-coarse-quantizer scale path. Cells
-    are the per-label mean embeddings (deterministic + oracle-exact;
-    on a real corpus swap in k-means|| centers — the plan is
-    identical). Centroid components are rounded to 6dp in BOTH engines
-    BEFORE the distance argmin so partial-aggregation summation order
-    cannot flip an assignment."""
+    """IVF ANN top-3 at nprobe=2: the trained-coarse-quantizer scale
+    path, searching each probe's two nearest cells (the standard IVF
+    recall knob — nprobe=1 misses true neighbors quantized across a
+    cell boundary; recall-vs-brute-force measured in
+    tests/test_similarity.py). Cells are the per-label mean embeddings
+    (deterministic + oracle-exact; on a real corpus swap in k-means||
+    centers — the plan is identical). Centroid components are rounded
+    to 6dp in BOTH engines BEFORE the distance argmin so partial-
+    aggregation summation order cannot flip an assignment."""
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "embeddings")
@@ -705,7 +708,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     probes = e.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return SIM.ivf_topk(e, probes, cent, k=3)
+    return SIM.ivf_topk(e, probes, cent, k=3, nprobe=2)
 
 
 _D2_SQL = (
@@ -733,8 +736,15 @@ WITH flat AS (
     FROM embeddings e CROSS JOIN cent c
   ) WHERE rn = 1
 ), p_assign AS (
-  SELECT vec_id AS probe_id, cell_id, embedding AS pv
-  FROM c_assign WHERE vec_id < {_N_PROBES}
+  -- nprobe=2: each probe searches its two nearest cells
+  SELECT vec_id AS probe_id, cell_id, embedding AS pv FROM (
+    SELECT e.vec_id, c.cell_id, e.embedding,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_D2_SQL.format(e='e', c='c')} ASC,
+                                       c.cell_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {_N_PROBES}
+  ) WHERE rn <= 2
 ), pairs AS (
   SELECT p.probe_id, a.vec_id,
          list_reduce(list_transform(range(1, 65), i ->
@@ -797,18 +807,25 @@ WITH m AS (
          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                                       WHEN 1 THEN 'audio'
                                       ELSE 'video' END AS kind,
+         doc_id % 30 = 0 AS corrupt,   -- raw bytes, no image magic
          strlen(text) AS n
   FROM documents
 )
 SELECT doc_id, kind,
-       CAST(n AS INT) AS n_bytes,
-       CAST(CASE WHEN kind IN ('image', 'video') THEN (n % 640) + 1 END AS INT) AS width,
-       CAST(CASE WHEN kind IN ('image', 'video') THEN (n % 480) + 1 END AS INT) AS height,
-       CAST(CASE kind WHEN 'image' THEN 1
-                      WHEN 'audio' THEN n * 4
-                      ELSE (n // 100) + 1 END AS INT) AS n_frames,
-       TRUE AS decode_ok,
-       CAST(NULL AS VARCHAR) AS error
+       CAST(CASE WHEN kind = 'image' AND NOT corrupt THEN
+                 CASE WHEN doc_id % 6 = 0 THEN 45 ELSE 23 END  -- PNG | JPEG
+            ELSE n END AS INT) AS n_bytes,
+       CAST(CASE WHEN kind = 'image' AND corrupt THEN NULL
+                 WHEN kind IN ('image', 'video') THEN (n % 640) + 1 END AS INT) AS width,
+       CAST(CASE WHEN kind = 'image' AND corrupt THEN NULL
+                 WHEN kind IN ('image', 'video') THEN (n % 480) + 1 END AS INT) AS height,
+       CAST(CASE WHEN kind = 'image' AND corrupt THEN NULL
+                 WHEN kind = 'image' THEN 1
+                 WHEN kind = 'audio' THEN n * 4
+                 ELSE (n // 100) + 1 END AS INT) AS n_frames,
+       NOT (kind = 'image' AND corrupt) AS decode_ok,
+       CASE WHEN kind = 'image' AND corrupt
+            THEN 'UNSUPPORTED_IMAGE_FORMAT' END AS error
 FROM m
 """
 

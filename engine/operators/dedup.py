@@ -460,25 +460,40 @@ def _exploded_distinct_tokens(
 
 
 def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_chunks: int = 4,
+    chunk_bits: int = 16,
 ) -> DataFrame:
-    """64-bit SimHash as FOUR independent 16-bit chunks (sim_0..sim_3):
-    chunk c's token hash is hex chars [4c+1, 4c+4] of md5(token) — 64
-    independent hash bits total, emitted chunked so the banded
-    Hamming-distance pair join (`simhash_near_pairs`) needs no 64-bit
-    unsigned arithmetic anywhere (portable to the DuckDB oracle).
+    """SimHash as `num_chunks` independent `chunk_bits`-bit chunks
+    (sim_0..sim_{c-1}): chunk c's token hash is the next chunk_bits/4
+    hex chars of md5(token) — num_chunks*chunk_bits independent hash
+    bits total, emitted chunked so the banded Hamming-distance pair
+    join (`simhash_near_pairs`) needs no 64-bit unsigned arithmetic
+    anywhere (portable to the DuckDB oracle). Default 4×16 = the 64-bit
+    signature; widen chunks (e.g. 4×24) to shrink random-collision
+    candidates at large corpus sizes — see `simhash_near_pairs` for the
+    envelope arithmetic.
 
     One explode + one hash-agg keyed on id, partial map-side combine —
     same scale shape as `simhash16`. Docs with no tokens → NULL chunks.
     """
+    if chunk_bits % 4 or not 4 <= chunk_bits <= 28:
+        raise ValueError("chunk_bits must be a multiple of 4 in [4, 28]")
+    if num_chunks * chunk_bits > 128:
+        raise ValueError("md5 provides 128 bits: num_chunks*chunk_bits <= 128")
+    hexlen = chunk_bits // 4
     toks = _exploded_distinct_tokens(df, id_col, text_col)
     nonblank = F.col("tok").isNotNull() & (F.col("tok") != "")
-    for c in range(4):
+    for c in range(num_chunks):
         toks = toks.withColumn(
             f"_h{c}",
             F.when(
                 nonblank,
-                F.conv(F.substring(F.md5("tok"), 4 * c + 1, 4), 16, 10).cast("int"),
+                F.conv(
+                    F.substring(F.md5("tok"), hexlen * c + 1, hexlen), 16, 10
+                ).cast("int"),
             ),
         )
     bit_sums = [
@@ -487,14 +502,14 @@ def simhash64(
             .when(F.shiftright(F.col(f"_h{c}"), j).bitwiseAND(1) == 1, 1)
             .otherwise(-1)
         ).alias(f"b{c}_{j}")
-        for c in range(4)
-        for j in range(16)
+        for c in range(num_chunks)
+        for j in range(chunk_bits)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums, F.count("_h0").alias("_n_tok"))
     out_cols = [F.col(id_col)]
-    for c in range(4):
+    for c in range(num_chunks):
         sim = None
-        for j in range(16):
+        for j in range(chunk_bits):
             term = F.when(F.col(f"b{c}_{j}") > 0, F.lit(1 << j)).otherwise(0)
             sim = term if sim is None else sim + term
         out_cols.append(
@@ -503,39 +518,23 @@ def simhash64(
     return agg.select(*out_cols)
 
 
-def simhash_near_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_hamming: int = 3,
+def _chunk_candidate_pairs(
+    sims: DataFrame, id_col: str, num_chunks: int
 ) -> DataFrame:
-    """SimHash-based near-duplicate PAIRS — the banded Hamming join
-    that turns the signature into an actual dedup.
-
-    Pigeonhole guarantee: two 64-bit simhashes within Hamming distance
-    <= 3 agree EXACTLY on at least one of the 4 16-bit chunks, so a
-    bucketed self-join on (chunk_idx, chunk_value) finds every such
-    pair — no all-pairs comparison. Candidates are then verified with
-    the exact 64-bit Hamming distance (sum of per-chunk bit_count of
-    xor) and filtered at `max_hamming`. `max_hamming` > 3 weakens the
-    guarantee to recall < 1 (LSH-style); <= 3 is exact-complete.
-
-    Scale shape: the self-join shuffles only (chunk_idx, chunk_val,
-    id) — 3 ints; chunk buckets are O(n/2^16); verified Hamming runs
-    only on the candidate set via two hash joins on id.
-    """
-    sims = simhash64(df, id_col, text_col).filter(F.col("sim_0").isNotNull())
+    """Distinct (id_a < id_b) pairs agreeing on >= 1 simhash chunk —
+    the blocking stage of `simhash_near_pairs`, exposed so tests can
+    measure the candidate ENVELOPE independently of verification."""
     chunk_structs = F.array(
         *[
             F.struct(F.lit(c).alias("chunk_idx"), F.col(f"sim_{c}").alias("cv"))
-            for c in range(4)
+            for c in range(num_chunks)
         ]
     )
     chunks = sims.select(
         F.col(id_col), F.explode(chunk_structs).alias("ch")
     ).select(id_col, "ch.chunk_idx", "ch.cv")
     a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -547,14 +546,54 @@ def simhash_near_pairs(
         )
         .distinct()
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_chunks: int = 4,
+    chunk_bits: int = 16,
+) -> DataFrame:
+    """SimHash-based near-duplicate PAIRS — the banded Hamming join
+    that turns the signature into an actual dedup.
+
+    Pigeonhole guarantee: two simhashes within Hamming distance <=
+    num_chunks - 1 agree EXACTLY on at least one chunk, so a bucketed
+    self-join on (chunk_idx, chunk_value) finds every such pair — no
+    all-pairs comparison. Candidates are then verified with the exact
+    Hamming distance (sum of per-chunk bit_count of xor) and filtered
+    at `max_hamming`. `max_hamming` > num_chunks - 1 weakens the
+    guarantee to recall < 1 (LSH-style); below it is exact-complete.
+
+    Candidate ENVELOPE (the 100 TB sizing rule, pinned by
+    tests/test_dedup.py::test_simhash_candidate_envelope): unrelated
+    docs collide on a chunk by chance, so expected candidates ~=
+    num_chunks * C(n,2) / 2^chunk_bits. At the default 4×16 that is
+    ~n²/2^15 — negligible to ~10^8 docs, but at 10^10 docs it is
+    ~3×10^15 pairs: widen chunks instead (4×24 → /2^23, the same md5
+    budget) or shard the join by a cheap doc-class prefix. The
+    verified output is unaffected; only the intermediate grows.
+
+    Scale shape: the self-join shuffles only (chunk_idx, chunk_val,
+    id) — 3 ints; chunk buckets are O(n/2^chunk_bits); verified
+    Hamming runs only on the candidate set via two hash joins on id.
+    """
+    sims = simhash64(df, id_col, text_col, num_chunks, chunk_bits).filter(
+        F.col("sim_0").isNotNull()
+    )
+    pairs = _chunk_candidate_pairs(sims, id_col, num_chunks)
     sa = sims.select(
-        F.col(id_col).alias("id_a"), *[F.col(f"sim_{c}").alias(f"_a{c}") for c in range(4)]
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"sim_{c}").alias(f"_a{c}") for c in range(num_chunks)],
     )
     sb = sims.select(
-        F.col(id_col).alias("id_b"), *[F.col(f"sim_{c}").alias(f"_b{c}") for c in range(4)]
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"sim_{c}").alias(f"_b{c}") for c in range(num_chunks)],
     )
     hamming = None
-    for c in range(4):
+    for c in range(num_chunks):
         term = F.bit_count(F.col(f"_a{c}").bitwiseXOR(F.col(f"_b{c}")))
         hamming = term if hamming is None else hamming + term
     return (

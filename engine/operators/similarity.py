@@ -197,10 +197,11 @@ def ivf_topk(
     probe_id: str = "probe_id",
     centroid_id: str = "cell_id",
     centroid_vec: str = "centroid",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: vectors are assigned to the nearest
-    coarse-quantizer centroid (their *cell*); a probe searches only its
-    own cell, exact cosine re-ranks inside it.
+    """IVF (inverted-file) ANN: corpus vectors are assigned to the
+    nearest coarse-quantizer centroid (their *cell*); a probe searches
+    its `nprobe` nearest cells, exact cosine re-ranks the candidates.
 
     The centroid table is the trained coarse quantizer — tiny by
     construction (k-means cells; here any (cell_id, centroid) frame,
@@ -209,10 +210,17 @@ def ivf_topk(
     shuffles for assignment; the probe-to-cell join is a hash join on
     the cell id — the same plan shape as `lsh_topk` with the sign code
     swapped for a trained cell. Assignment = argmin squared L2 distance
-    (ties broken by smaller cell_id)."""
+    (ties broken by smaller cell_id).
+
+    `nprobe` is the standard IVF recall knob: with nprobe=1 a probe
+    near a cell boundary misses true neighbors quantized into the
+    adjacent cell; probing the P nearest cells recovers them at P× the
+    candidate volume (each corpus vector lives in exactly ONE cell, so
+    multi-probe never duplicates a candidate pair). Recall vs
+    `brute_force_topk` is measured in tests/test_similarity.py."""
     cent = F.broadcast(centroids.select(centroid_id, centroid_vec))
 
-    def assign(df: DataFrame, idc: str) -> DataFrame:
+    def assign(df: DataFrame, idc: str, keep: int) -> DataFrame:
         d2 = F.aggregate(
             F.zip_with(
                 _to_double(F.col(vec_col)),
@@ -230,13 +238,13 @@ def ivf_topk(
         )
         return (
             scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+            .filter(F.col("_rn") <= keep)
             .select(idc, vec_col, centroid_id)
         )
 
-    c_cells = assign(corpus.select(id_col, vec_col), id_col)
+    c_cells = assign(corpus.select(id_col, vec_col), id_col, keep=1)
     p_cells = F.broadcast(
-        assign(probes.select(probe_id, F.col(vec_col)), probe_id)
+        assign(probes.select(probe_id, F.col(vec_col)), probe_id, keep=nprobe)
         .withColumnRenamed(vec_col, "_pv")
     )
     pairs = c_cells.join(p_cells, centroid_id).filter(

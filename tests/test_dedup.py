@@ -150,6 +150,42 @@ def test_connected_components_chain_and_singletons(spark):
     assert got == {0: 0, 1: 1, 4: 1, 6: 1, 7: 1, 2: 2, 3: 2, 5: 5}
 
 
+def test_simhash_candidate_envelope(spark):
+    """Pins the documented O(n²/2^chunk_bits) random-collision bound of
+    the chunked SimHash blocking join (dedup.py): on n unrelated docs
+    the candidate count stays within the num_chunks*C(n,2)/2^chunk_bits
+    envelope, widening chunks (same md5 bit budget) collapses it, and
+    verification never promotes a random collision to a near-dup."""
+    import random
+
+    from engine.operators.dedup import (
+        _chunk_candidate_pairs,
+        simhash64,
+        simhash_near_pairs,
+    )
+
+    rng = random.Random(99)
+    n = 1500
+    rows = [
+        (i, " ".join(f"w{rng.randrange(10**9)}" for _ in range(20)))
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def n_candidates(chunk_bits):
+        sims = simhash64(docs, num_chunks=4, chunk_bits=chunk_bits)
+        return _chunk_candidate_pairs(sims, "doc_id", 4).count()
+
+    expected16 = 4 * n * (n - 1) / 2 / 2**16  # ≈ 69 at n=1500
+    c16 = n_candidates(16)
+    assert 0 < c16 < 10 * expected16
+    # widening chunks 16 → 24 bits divides the envelope by 2^8
+    c24 = n_candidates(24)
+    assert c24 <= c16 / 10
+    # random collisions never survive Hamming verification
+    assert simhash_near_pairs(docs, max_hamming=3).count() == 0
+
+
 def test_connected_components_star_differential(spark):
     """Large-star/small-star contraction agrees with min-label
     propagation on a mixed graph: cliques, a chain, singletons."""

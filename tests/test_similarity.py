@@ -152,6 +152,46 @@ def test_cosine_near_dups_planted(spark):
     assert not any(2 in p for p in got)
 
 
+def test_ivf_multiprobe_recovers_boundary_neighbors(spark):
+    """The nprobe recall knob, measured against brute force: a probe
+    L2-assigned to cell A whose true cosine neighbor was quantized into
+    cell B is missed at nprobe=1 (recall@2 = 0.5) and recovered at
+    nprobe=2 (recall@2 = 1.0, result set == brute force)."""
+    from engine.operators.similarity import brute_force_topk, ivf_topk
+
+    # 4-dim, two centroids on the ±x axis; directions mostly +y
+    corpus = spark.createDataFrame(
+        [
+            (0, [0.9, 0.1, 0.0, 0.0]),    # cell A, direction +x
+            (1, [0.8, -0.1, 0.0, 0.0]),   # cell A, direction +x
+            (2, [-0.9, 0.1, 0.0, 0.0]),   # cell B, direction -x
+            (3, [-0.3, 2.0, 0.0, 0.0]),   # cell B, direction +y  ← boundary
+            (4, [0.2, 1.8, 0.0, 0.0]),    # cell A, direction +y
+        ],
+        SCHEMA,
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [-1.0, 0.0, 0.0, 0.0])],
+        "cell_id int, centroid array<double>",
+    )
+    probes = spark.createDataFrame([(100, [0.1, 2.0, 0.0, 0.0])], SCHEMA).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+
+    def ids(df):
+        return [r["vec_id"] for r in df.orderBy("rank").collect()]
+
+    truth = ids(brute_force_topk(corpus, probes, k=2))
+    got1 = ids(ivf_topk(corpus, probes, cents, k=2, nprobe=1))
+    got2 = ids(ivf_topk(corpus, probes, cents, k=2, nprobe=2))
+    assert truth == [4, 3]  # true neighbors straddle the cell boundary
+    assert got1 == [4, 0]   # nprobe=1 only sees cell A candidates
+    assert got2 == truth    # nprobe=2 searches both cells → exact
+    r1 = len(set(got1) & set(truth)) / 2
+    r2 = len(set(got2) & set(truth)) / 2
+    assert r1 == 0.5 and r2 == 1.0 and r2 >= r1
+
+
 def test_ivf_topk_searches_own_cell_only(spark):
     """IVF: probes only see candidates assigned to the same centroid
     cell; ranking inside the cell is exact cosine."""
