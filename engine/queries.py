@@ -307,6 +307,91 @@ FROM per_sess
 """
 
 
+def q_funnel_steps(spark, sf_dir):
+    """Ordered MULTI-STEP funnel over the same one-shuffle sessionized
+    layout as q_session_funnel: view → click → purchase with STRICT
+    event-time ordering inside the session. Step k only counts if it
+    happens strictly after the (earliest qualifying) step k-1:
+    t1 = first view, t2 = first click with sec > t1, t3 = first
+    purchase with sec > t2.
+
+    Shape: sessionize (one shuffle on user_id) → per-session hash agg
+    collecting only three tiny per-type second-lists → step times via
+    array HOFs (filter + array_min, all codegen) → global roll-up.
+    Sessions are gap-bounded so the collected lists are small; nothing
+    re-scans events per step.
+
+    At sf0.01 the full-funnel count is legitimately 0 (sessions are
+    sparse); tests/test_funnel.py proves each step's strict-ordering
+    semantics on planted sessions."""
+    return funnel_steps(_t(spark, sf_dir, "events"))
+
+
+def funnel_steps(ev):
+    """See q_funnel_steps. Takes the events DataFrame directly so
+    planted fixtures can drive it."""
+    s = core.sessionize(ev, "user_id", "ts", "event_id", 1800.0, seq_col=None)
+    sec = core.ts_seconds("ts")
+    per = s.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", sec)).alias("t1"),
+        F.collect_list(F.when(F.col("event_type") == "click", sec)).alias("_cl"),
+        F.collect_list(F.when(F.col("event_type") == "purchase", sec)).alias("_pu"),
+    )
+    per = per.withColumn(
+        "t2", F.array_min(F.filter("_cl", lambda c: c > F.col("t1")))
+    ).withColumn("t3", F.array_min(F.filter("_pu", lambda p: p > F.col("t2"))))
+    return per.groupBy().agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_view_click_purchase"),
+        F.round(F.avg(F.col("t3").isNotNull().cast("double")), 6).alias(
+            "full_funnel_rate"
+        ),
+    )
+
+
+SQL_FUNNEL_STEPS = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         epoch_us(ts) / 1000000.0 AS sec,
+         LAG(epoch_us(ts) / 1000000.0) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+  FROM events
+), b AS (
+  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800.0
+                 THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+            AS INT) AS session_id
+  FROM b
+), s1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN sec END)
+              OVER (PARTITION BY user_id, session_id) AS t1
+  FROM s
+), s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND sec > t1 THEN sec END)
+              OVER (PARTITION BY user_id, session_id) AS t2
+  FROM s1
+), s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND sec > t2 THEN sec END)
+              OVER (PARTITION BY user_id, session_id) AS t3
+  FROM s2
+), per_sess AS (
+  SELECT DISTINCT user_id, session_id, t1, t2, t3 FROM s3
+)
+SELECT COUNT(*) AS n_sessions,
+       CAST(COUNT(t1) AS BIGINT) AS n_view,
+       CAST(COUNT(t2) AS BIGINT) AS n_view_click,
+       CAST(COUNT(t3) AS BIGINT) AS n_view_click_purchase,
+       ROUND(AVG(CASE WHEN t3 IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+         AS full_funnel_rate
+FROM per_sess
+"""
+
+
 def q_rolling_approx(spark, sf_dir):
     """Rolling APPROX distinct count (HyperLogLog++) over the same
     event-time range frame as q_rolling — the advertised bench-scale

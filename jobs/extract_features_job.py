@@ -47,6 +47,17 @@ def main() -> None:
                     help="route sampled zipf-hot conversations into their "
                     "own batch (uniform hash-batch runtimes; per-hot-key "
                     "commit + lineage)")
+    ap.add_argument("--lineage", nargs="?", const="all", default=None,
+                    metavar="RUN_ID",
+                    help="audit mode: print the per-FILE lineage manifest "
+                    "records (run_id, file, rows, bytes, ts watermarks, "
+                    "replaced) as JSON lines for RUN_ID — or, with no "
+                    "value, for every run of --job-id — then exit without "
+                    "running the job. This is the operator-visible surface "
+                    "of the per-partition lineage committed with each "
+                    "snapshot.")
+    ap.add_argument("--lineage-table", default="features",
+                    help="table to audit with --lineage (features|errors)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,6 +71,19 @@ def main() -> None:
     active = SparkSession.getActiveSession()
     spark = active or build_session(app_name=f"extract-features-{args.job_id}")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    if args.lineage is not None:
+        from pyspark.sql import functions as F
+
+        io = TableIO(args.warehouse)
+        lin = io.lineage(spark, args.lineage_table)
+        if args.lineage == "all":
+            lin = lin.filter(F.col("run_id").startswith(args.job_id))
+        else:
+            lin = lin.filter(F.col("run_id") == args.lineage)
+        for row in lin.orderBy("run_id", "file").collect():
+            print(json.dumps(row.asDict()))
+        return
 
     if args.generate:
         from engine.generate import generate_context_events, generate_transcripts

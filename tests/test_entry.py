@@ -32,3 +32,26 @@ def test_oracles_are_nonempty_sql():
     m = _entry()
     for name, sql in m.oracle_sql().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_rows_only_entries_document_why():
+    """A query exempted from the oracle gate must say so in its own
+    docstring — the exemption is part of the contract, not a loophole."""
+    m = _entry()
+    for name in ROWS_ONLY:
+        doc = m.queries()[name].__doc__ or ""
+        assert "rows-only" in doc, f"{name}: undocumented rows-only exemption"
+
+
+def test_every_query_is_nonvacuous(spark):
+    """Every driver-gate query returns rows at sf0.001 — a green
+    oracle comparison over 0-vs-0 rows proves nothing (the r2
+    dedup_embedding lesson: an operator that unconditionally returned
+    nothing would still 'pass'). Any future query whose natural result
+    is empty must plant a fixture inside the query, as the dedup/
+    similarity queries do."""
+    m = _entry()
+    for name, fn in m.queries().items():
+        assert fn(spark, "/root/testdata/sf0.001").count() > 0, (
+            f"{name}: vacuous at sf0.001"
+        )

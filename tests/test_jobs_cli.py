@@ -1,0 +1,52 @@
+"""jobs/extract_features_job.py CLI smoke: run a tiny resumable job,
+then audit it with --lineage (the operator-visible surface of the
+per-partition lineage manifests). Runs main() in-process — the job
+reuses the active test SparkSession."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _run_cli(argv, capsys):
+    from jobs.extract_features_job import main
+
+    old = sys.argv
+    sys.argv = ["extract_features_job.py"] + argv
+    try:
+        main()
+    finally:
+        sys.argv = old
+    return capsys.readouterr().out
+
+
+def test_job_then_lineage_audit(spark, tmp_path, capsys):
+    wh = str(tmp_path / "wh")
+    out = _run_cli(
+        ["--generate", "4000", "--warehouse", wh, "--job-id", "smoke",
+         "--batches", "2"],
+        capsys,
+    )
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["total_rows"] > 0
+    assert [b["status"] for b in summary["batches"]] == ["committed"] * 2
+
+    # --lineage with no value: every run of the job-id, one JSON line
+    # per data FILE with rows/bytes/watermarks
+    out = _run_cli(
+        ["--warehouse", wh, "--job-id", "smoke", "--lineage"], capsys
+    )
+    recs = [json.loads(line) for line in out.strip().splitlines()]
+    assert recs and all(r["run_id"].startswith("smoke-") for r in recs)
+    assert sum(r["rows"] for r in recs) == summary["total_rows"]
+    assert all(r["bytes"] > 0 and r["watermark_lo"] for r in recs)
+    assert not any(r["replaced"] for r in recs)
+
+    # --lineage RUN_ID: just that snapshot's files
+    run0 = recs[0]["run_id"]
+    out = _run_cli(
+        ["--warehouse", wh, "--job-id", "smoke", "--lineage", run0], capsys
+    )
+    only = [json.loads(line) for line in out.strip().splitlines()]
+    assert only and {r["run_id"] for r in only} == {run0}
