@@ -259,6 +259,100 @@ def ivf_topk(
     )
 
 
+def train_centroids(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> list[tuple[int, list[float]]]:
+    """Train the IVF coarse quantizer: Lloyd's k-means in pure
+    DataFrame ops (the trained-centroid path `ivf_topk`'s docstring
+    promises; per-label means remain the oracle-checkable stand-in for
+    the driver gate).
+
+    Deterministic: init = the k corpus vectors with the smallest ids
+    (no rand(); on a real corpus feed ids through a hash first for a
+    spread sample — same code path). Per iteration:
+
+    - centroids broadcast (k x dim doubles — tiny by construction);
+    - assignment = argmin squared-L2 via `min_by` over the broadcast
+      cross join: ONE hash agg keyed on the vector id, map-side
+      combined; the corpus never shuffles its vectors;
+    - update = per-cell mean as `dim` element_at-sums in one hash agg
+      keyed on cell_id (no explode: k x dim result rows), collected to
+      the driver (bounded by k x dim, like any trained-model state);
+    - empty cells keep their previous centroid; stop when the max
+      centroid L2 shift < `tol` or at `max_iter`.
+
+    Returns [(cell_id, centroid)] — feed to `ivf_topk` via
+    spark.createDataFrame(..., 'cell_id int, centroid array<double>').
+    Driver coordination is one collect of k x dim values per round —
+    the same shape every distributed k-means (including Spark MLlib's)
+    pays."""
+    first = corpus.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("train_centroids: empty corpus")
+    dim = first["d"]
+    init_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"train_centroids: k={k} > corpus size {len(init_rows)}")
+    cents = [[float(x) for x in r[vec_col]] for r in init_rows]
+
+    vecs = corpus.select(F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
+    for _ in range(max_iter):
+        cent_df = F.broadcast(
+            vecs.sparkSession.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "cell_id int, centroid array<double>",
+            )
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("_v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            vecs.crossJoin(cent_df)
+            .select(
+                F.col(id_col),
+                F.col("_v"),
+                F.col("cell_id"),
+                d2.alias("_d2"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.min_by("cell_id", F.struct("_d2", "cell_id")).alias("cell_id"),
+                F.first("_v").alias("_v"),
+            )
+        )
+        stats = (
+            assigned.groupBy("cell_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("_v", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new_cents = list(cents)  # empty cells keep their centroid
+        for r in stats:
+            new_cents[r["cell_id"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(old, new)) ** 0.5
+            for old, new in zip(cents, new_cents)
+        )
+        cents = new_cents
+        if shift < tol:
+            break
+    return [(i, c) for i, c in enumerate(cents)]
+
+
 def cosine_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,

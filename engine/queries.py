@@ -327,19 +327,35 @@ def q_funnel_steps(spark, sf_dir):
     return funnel_steps(_t(spark, sf_dir, "events"))
 
 
-def funnel_steps(ev):
-    """See q_funnel_steps. Takes the events DataFrame directly so
-    planted fixtures can drive it."""
+def funnel_session_steps(ev):
+    """Per-session funnel step times/flags (the batch twin of
+    engine.streaming.stream_funnel_steps): one row per (user_id,
+    session_id) with n_events, t1/t2/t3 step times and step flags.
+    Takes the events DataFrame directly so planted fixtures and the
+    streaming parity test can drive it."""
     s = core.sessionize(ev, "user_id", "ts", "event_id", 1800.0, seq_col=None)
     sec = core.ts_seconds("ts")
     per = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
         F.min(F.when(F.col("event_type") == "view", sec)).alias("t1"),
         F.collect_list(F.when(F.col("event_type") == "click", sec)).alias("_cl"),
         F.collect_list(F.when(F.col("event_type") == "purchase", sec)).alias("_pu"),
     )
-    per = per.withColumn(
-        "t2", F.array_min(F.filter("_cl", lambda c: c > F.col("t1")))
-    ).withColumn("t3", F.array_min(F.filter("_pu", lambda p: p > F.col("t2"))))
+    return (
+        per.withColumn(
+            "t2", F.array_min(F.filter("_cl", lambda c: c > F.col("t1")))
+        )
+        .withColumn("t3", F.array_min(F.filter("_pu", lambda p: p > F.col("t2"))))
+        .withColumn("step_view", F.col("t1").isNotNull())
+        .withColumn("step_view_click", F.col("t2").isNotNull())
+        .withColumn("step_full", F.col("t3").isNotNull())
+        .drop("_cl", "_pu")
+    )
+
+
+def funnel_steps(ev):
+    """Global roll-up of funnel_session_steps — see q_funnel_steps."""
+    per = funnel_session_steps(ev)
     return per.groupBy().agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.count("t1").alias("n_view"),

@@ -687,3 +687,149 @@ def stream_sessionize_exact(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ordered multi-step funnel (batch-identical per-session rows)
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.IntegerType()),
+        T.StructField("n_events", T.IntegerType()),
+        T.StructField("step_view", T.BooleanType()),
+        T.StructField("step_view_click", T.BooleanType()),
+        T.StructField("step_full", T.BooleanType()),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("p_us", T.ArrayType(T.LongType())),   # pending, epoch us
+        T.StructField("p_eid", T.ArrayType(T.LongType())),
+        T.StructField("p_type", T.ArrayType(T.StringType())),
+        T.StructField("n_sessions", T.IntegerType()),       # emitted so far
+    ]
+)
+
+
+def _make_funnel_state_fn(gap_s: float):
+    gap_us = int(gap_s * 1_000_000)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        """Watermark-buffered per-session funnel: emits one row per
+        CLOSED session with batch-identical session_id and strict
+        event-time-ordered step flags (queries.funnel_session_steps).
+
+        A session is final iff last_event + gap <= watermark: any
+        still-possible event has ts > wm >= last + gap, so it breaks
+        the gap and cannot join. Finality is a prefix property (a
+        non-final session's successor starts > wm, hence is itself
+        non-final), so sessions close strictly in order and the
+        per-user session counter in state stays batch-identical.
+        Microsecond precision end-to-end — strict step comparisons
+        (click after first view, purchase after first qualifying
+        click) agree with the batch engine's epoch-second doubles,
+        which are order- and equality-preserving at us resolution."""
+        user_id = key[0]
+        if state.exists:
+            p_us, p_eid, p_type, n_sessions = state.get
+            pending = list(zip(p_us, p_eid, p_type))
+        else:
+            pending, n_sessions = [], 0
+
+        for pdf in pdfs:
+            pending.extend(
+                zip(
+                    (pdf["ts"].astype("int64") // 1000).tolist(),  # ns -> us
+                    pdf["event_id"].tolist(),
+                    pdf["event_type"].tolist(),
+                )
+            )
+        pending.sort(key=lambda e: (e[0], e[1]))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        # split into gap-delimited sessions (strict `delta > gap`)
+        sessions: list[list] = []
+        for e in pending:
+            if sessions and e[0] - sessions[-1][-1][0] <= gap_us:
+                sessions[-1].append(e)
+            else:
+                sessions.append([e])
+
+        out = []
+        n_final = 0
+        for sess in sessions:
+            if sess[-1][0] + gap_us > wm_us:
+                break  # this and every later session stays pending
+            n_final += 1
+            t1 = min((us for us, _, k in sess if k == "view"), default=None)
+            t2 = (
+                min((us for us, _, k in sess if k == "click" and us > t1),
+                    default=None)
+                if t1 is not None else None
+            )
+            t3 = (
+                min((us for us, _, k in sess if k == "purchase" and us > t2),
+                    default=None)
+                if t2 is not None else None
+            )
+            out.append(
+                {
+                    "user_id": user_id,
+                    "session_id": n_sessions,
+                    "n_events": len(sess),
+                    "step_view": t1 is not None,
+                    "step_view_click": t2 is not None,
+                    "step_full": t3 is not None,
+                }
+            )
+            n_sessions += 1
+
+        remaining = [e for sess in sessions[n_final:] for e in sess]
+        if remaining or n_sessions > 0:
+            state.update((
+                [e[0] for e in remaining],
+                [e[1] for e in remaining],
+                [e[2] for e in remaining],
+                n_sessions,
+            ))
+            if remaining:
+                close_ms = (remaining[0][0] + gap_us) // 1000 + 1
+                state.setTimeoutTimestamp(max(close_ms, wm_us // 1000 + 1))
+        elif state.exists:
+            state.remove()
+
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FUNNEL_OUT_SCHEMA.fields]
+            )
+
+    return fn
+
+
+def stream_funnel_steps(
+    df: DataFrame,
+    gap_s: float = SESSION_GAP_S,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming ordered view->click->purchase funnel: one row per
+    closed session with EXACT batch semantics (session ids, strict
+    step ordering — queries.funnel_session_steps is the batch twin,
+    parity-tested in tests/test_streaming.py). Input stream needs
+    (user_id, event_id, ts, event_type)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        df.withWatermark("ts", watermark)
+        .select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_funnel_state_fn(gap_s),
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -152,6 +152,90 @@ def test_cosine_near_dups_planted(spark):
     assert not any(2 in p for p in got)
 
 
+def _numpy_lloyd(mat, k, max_iter=10, tol=1e-6):
+    """Reference Lloyd with the SAME deterministic contract as
+    train_centroids: init = first k rows (smallest ids), argmin L2 with
+    smaller-cell tie-break, empty cells keep their centroid."""
+    cents = mat[:k].astype(np.float64).copy()
+    for _ in range(max_iter):
+        d2 = ((mat[:, None, :].astype(np.float64) - cents[None, :, :]) ** 2).sum(
+            axis=2
+        )
+        cell = d2.argmin(axis=1)  # argmin takes the first (smallest) index
+        new = cents.copy()
+        for c in range(k):
+            members = mat[cell == c]
+            if len(members):
+                new[c] = members.astype(np.float64).mean(axis=0)
+        shift = np.sqrt(((cents - new) ** 2).sum(axis=1)).max()
+        cents = new
+        if shift < tol:
+            break
+    return cents, cell
+
+
+def test_train_centroids_matches_numpy_lloyd(spark):
+    """Distributed Lloyd (broadcast centroids + min_by assignment +
+    element-wise-sum update) converges to the same centroids and
+    assignments as a single-process numpy reference under the same
+    deterministic init — to summation-order float tolerance."""
+    from engine.operators.similarity import train_centroids
+
+    rng = np.random.default_rng(31)
+    blob_a = rng.normal(loc=+2.0, scale=0.3, size=(30, 8))
+    blob_b = rng.normal(loc=-2.0, scale=0.3, size=(30, 8))
+    mat = np.concatenate([blob_a, blob_b]).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(len(mat))], SCHEMA
+    )
+    got = train_centroids(df, k=2, max_iter=10)
+    exp_cents, exp_cell = _numpy_lloyd(mat, k=2, max_iter=10)
+    assert [c for c, _ in got] == [0, 1]
+    for (_, gc), ec in zip(got, exp_cents):
+        assert np.allclose(gc, ec, atol=1e-6)
+    # trained centroids sit on the blob means (init rows 0..1 were both
+    # from blob A — Lloyd still separates the blobs)
+    assert np.allclose(got[0][1], blob_a.mean(axis=0), atol=0.2) or np.allclose(
+        got[0][1], blob_b.mean(axis=0), atol=0.2
+    )
+
+
+def test_trained_quantizer_drives_ivf(spark):
+    """End-to-end: train_centroids output feeds ivf_topk; with k=2
+    cells and nprobe=2 the result equals brute force."""
+    from engine.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    rng = np.random.default_rng(41)
+    mat = np.concatenate(
+        [
+            rng.normal(loc=+2.0, scale=0.5, size=(25, 8)),
+            rng.normal(loc=-2.0, scale=0.5, size=(25, 8)),
+        ]
+    ).astype(np.float32)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(len(mat))], SCHEMA
+    )
+    cents = spark.createDataFrame(
+        train_centroids(corpus, k=2), "cell_id int, centroid array<double>"
+    )
+    probes = corpus.filter(F.col("vec_id").isin(0, 30)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+
+    def ids(df):
+        return sorted(
+            (r["probe_id"], r["rank"], r["vec_id"]) for r in df.collect()
+        )
+
+    assert ids(ivf_topk(corpus, probes, cents, k=3, nprobe=2)) == ids(
+        brute_force_topk(corpus, probes, k=3)
+    )
+
+
 def test_ivf_multiprobe_recovers_boundary_neighbors(spark):
     """The nprobe recall knob, measured against brute force: a probe
     L2-assigned to cell A whose true cosine neighbor was quantized into

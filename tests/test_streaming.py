@@ -239,3 +239,51 @@ def test_stream_sessionize_exact_matches_batch(spark, transcripts_df, stream_sou
     for col in ("session_id", "sess_turn_no"):
         same = merged[f"{col}_s"] == merged[f"{col}_b"]
         assert same.all(), merged.loc[~same].head()
+
+
+def test_stream_funnel_matches_batch(spark, tmp_path_factory):
+    """Streaming per-session funnel emits the batch engine's exact
+    per-session rows (session ids, n_events, strict step flags) for
+    every session the final watermark closes."""
+    from engine.queries import funnel_session_steps
+    from engine.streaming import stream_funnel_steps
+
+    # driver parquet stores ts as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    ev.write.mode("overwrite").parquet(path)
+
+    sdf = spark.readStream.schema(ev.schema).parquet(path)
+    out = stream_funnel_steps(sdf, gap_s=1800.0, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM funnel_stream").toPandas()
+
+    exp = (
+        funnel_session_steps(ev)
+        .select(
+            "user_id", "session_id", "n_events",
+            "step_view", "step_view_click", "step_full",
+        )
+        .toPandas()
+    )
+    # only the final (never-closed) session per user may be withheld
+    assert len(got) > 0, "stream emitted nothing"
+    assert len(exp) - len(got) <= exp["user_id"].nunique()
+    merged = got.merge(
+        exp, on=["user_id", "session_id"], suffixes=("_s", "_b"), how="left"
+    )
+    assert merged["n_events_b"].notna().all(), "stream emitted unknown session"
+    for col in ("n_events", "step_view", "step_view_click", "step_full"):
+        same = merged[f"{col}_s"] == merged[f"{col}_b"]
+        assert same.all(), merged.loc[~same].head()
+    # the funnel discriminates: some sessions reach step 1
+    assert got["step_view"].sum() > 0
