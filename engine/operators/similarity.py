@@ -217,35 +217,81 @@ def ivf_topk(
     adjacent cell; probing the P nearest cells recovers them at P× the
     candidate volume (each corpus vector lives in exactly ONE cell, so
     multi-probe never duplicates a candidate pair). Recall vs
-    `brute_force_topk` is measured in tests/test_similarity.py."""
-    cent = F.broadcast(centroids.select(centroid_id, centroid_vec))
+    `brute_force_topk` is measured in tests/test_similarity.py.
 
-    def assign(df: DataFrame, idc: str, keep: int) -> DataFrame:
+    Assignment is a pure PROJECTION: the whole centroid table rides
+    along as a one-row broadcast array and the argmin runs per row in
+    array HOFs (struct array_min/array_sort compares (d2, cell_id)
+    field-wise — same tie-break as the oracle's ROW_NUMBER). The
+    corpus is NEVER shuffled and never joined per-centroid — the
+    round-3 plan audit showed the previous window-per-id argmin cost
+    14 exchanges + 12 sorts; this shape costs 1 shuffle total (the
+    per-probe top-k), which is the plan that survives 100 TB."""
+    cent_arr = F.broadcast(
+        centroids.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(centroid_id).alias("cid"),
+                        _to_double(F.col(centroid_vec)).alias("cvec"),
+                    )
+                )
+            ).alias("_cents")
+        )
+    )
+
+    def scored(c) -> Column:
         d2 = F.aggregate(
             F.zip_with(
-                _to_double(F.col(vec_col)),
-                _to_double(F.col(centroid_vec)),
-                lambda x, y: (x - y) * (x - y),
+                _to_double(F.col(vec_col)), c["cvec"], lambda x, y: (x - y) * (x - y)
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        scored = df.crossJoin(cent).select(
-            F.col(idc), F.col(vec_col), F.col(centroid_id), d2.alias("_d2")
-        )
-        w = Window.partitionBy(idc).orderBy(
-            F.col("_d2").asc(), F.col(centroid_id).asc()
-        )
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= keep)
-            .select(idc, vec_col, centroid_id)
-        )
+        return F.struct(d2.alias("_d2"), c["cid"].alias(centroid_id))
 
-    c_cells = assign(corpus.select(id_col, vec_col), id_col, keep=1)
+    c_cells = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(cent_arr)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.array_min(F.transform("_cents", scored))[centroid_id].alias(
+                centroid_id
+            ),
+        )
+    )
     p_cells = F.broadcast(
-        assign(probes.select(probe_id, F.col(vec_col)), probe_id, keep=nprobe)
-        .withColumnRenamed(vec_col, "_pv")
+        probes.select(probe_id, F.col(vec_col).alias("_pv"))
+        .crossJoin(cent_arr)
+        .select(
+            F.col(probe_id),
+            F.col("_pv"),
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            "_cents",
+                            lambda c: F.struct(
+                                F.aggregate(
+                                    F.zip_with(
+                                        _to_double(F.col("_pv")),
+                                        c["cvec"],
+                                        lambda x, y: (x - y) * (x - y),
+                                    ),
+                                    F.lit(0.0),
+                                    lambda acc, x: acc + x,
+                                ).alias("_d2"),
+                                c["cid"].alias(centroid_id),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("_pc"),
+        )
+        .select(probe_id, "_pv", F.col("_pc")[centroid_id].alias(centroid_id))
     )
     pairs = c_cells.join(p_cells, centroid_id).filter(
         F.col(id_col) != F.col(probe_id)
