@@ -322,13 +322,15 @@ def train_centroids(
     (no rand(); on a real corpus feed ids through a hash first for a
     spread sample — same code path). Per iteration:
 
-    - centroids broadcast (k x dim doubles — tiny by construction);
-    - assignment = argmin squared-L2 via `min_by` over the broadcast
-      cross join: ONE hash agg keyed on the vector id, map-side
-      combined; the corpus never shuffles its vectors;
+    - centroids broadcast as a one-row array (k x dim doubles — tiny
+      by construction);
+    - assignment = per-row argmin squared-L2 in array HOFs (struct
+      array_min, field-wise (d2, cell_id) comparison) — a pure
+      PROJECTION, the same zero-corpus-shuffle shape as `ivf_topk`;
     - update = per-cell mean as `dim` element_at-sums in one hash agg
-      keyed on cell_id (no explode: k x dim result rows), collected to
-      the driver (bounded by k x dim, like any trained-model state);
+      keyed on cell_id (no explode, map-side combined to k rows per
+      partition), collected to the driver (bounded by k x dim, like
+      any trained-model state);
     - empty cells keep their previous centroid; stop when the max
       centroid L2 shift < `tol` or at `max_iter`.
 
@@ -350,30 +352,38 @@ def train_centroids(
 
     vecs = corpus.select(F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
     for _ in range(max_iter):
-        cent_df = F.broadcast(
+        cent_arr = F.broadcast(
             vecs.sparkSession.createDataFrame(
                 [(i, c) for i, c in enumerate(cents)],
                 "cell_id int, centroid array<double>",
+            ).agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("cell_id").alias("cid"),
+                            F.col("centroid").alias("cvec"),
+                        )
+                    )
+                ).alias("_cents")
             )
         )
-        d2 = F.aggregate(
-            F.zip_with(F.col("_v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        scored = F.transform(
+            "_cents",
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_v"), c["cvec"], lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("_d2"),
+                c["cid"].alias("cell_id"),
+            ),
         )
-        assigned = (
-            vecs.crossJoin(cent_df)
-            .select(
-                F.col(id_col),
-                F.col("_v"),
-                F.col("cell_id"),
-                d2.alias("_d2"),
-            )
-            .groupBy(id_col)
-            .agg(
-                F.min_by("cell_id", F.struct("_d2", "cell_id")).alias("cell_id"),
-                F.first("_v").alias("_v"),
-            )
+        assigned = vecs.crossJoin(cent_arr).select(
+            F.col(id_col),
+            F.col("_v"),
+            F.array_min(scored)["cell_id"].alias("cell_id"),
         )
         stats = (
             assigned.groupBy("cell_id")
