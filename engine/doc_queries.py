@@ -529,6 +529,15 @@ def q_dedup_clusters(spark, sf_dir):
     return DD.near_dup_clusters(d, threshold=0.2)
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same clusters via large-star/small-star contraction (the
+    O(log²)-round, diameter-independent CC algorithm for adversarial
+    graphs) — oracle-checked against the SAME SQL as dedup_clusters,
+    since both must produce identical min-id components."""
+    d = _heavy(spark, sf_dir, "documents")
+    return DD.near_dup_clusters(d, threshold=0.2, algorithm="star")
+
+
 def _cc_step(k: int) -> str:
     return (
         f"l{k} AS (SELECT v.id AS id, "
@@ -1012,6 +1021,7 @@ QUERIES = {
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_near_pairs": q_dedup_near_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_star": q_dedup_clusters_star,
     "dedup_apply": q_dedup_apply,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1038,6 +1048,7 @@ ORACLES = {
     "dedup_minhash_sig": SQL_DEDUP_MINHASH_SIG,
     "dedup_near_pairs": SQL_DEDUP_NEAR_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_clusters_star": SQL_DEDUP_CLUSTERS,
     "dedup_apply": SQL_DEDUP_APPLY,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
