@@ -105,6 +105,55 @@ def test_flagship_no_prepass_with_explicit_vocab(spark, transcripts_df, context_
     assert 1 <= _n_jobs(spark) - before <= 3, "vocab=None costs one bounded discovery query"
 
 
+def test_ivf_assignment_never_shuffles_corpus(spark):
+    """IVF cell assignment must stay a per-row projection over the
+    broadcast centroid array: the only allowed non-broadcast exchanges
+    are the two k-row centroid collects and the per-probe candidate
+    top-k (the round-3 rewrite — the window-per-id argmin it replaced
+    cost 14 exchanges + 12 sorts)."""
+    from pyspark.sql import functions as F
+
+    from engine.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(4)],
+        "cell_id int, centroid array<double>",
+    )
+    probes = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    plan = _formatted(spark, ivf_topk(e, probes, cents, k=3, nprobe=2))
+    n_bcast = plan.count("BroadcastExchange")
+    n_exch = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    n_sort = len(re.findall(r"\(\d+\) Sort\b", plan))
+    assert n_exch <= 3, (n_exch, plan[:3000])
+    assert n_sort <= 4, n_sort
+    assert n_bcast >= 2  # centroid array to both sides + probe cells
+
+
+def test_funnel_steps_plan_shape(spark):
+    """The sessionized funnel stays codegen end-to-end: no Python
+    stages, bounded exchanges (sessionize window, per-session agg,
+    global roll-up)."""
+    from engine.queries import q_funnel_steps
+
+    plan = _formatted(spark, q_funnel_steps(spark, SF))
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    n_exch = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exch <= 4, n_exch
+
+
+def test_multimodal_is_one_python_stage(spark):
+    """Binary decode: exactly one Arrow-batched MapInPandas over the
+    scan; payload synthesis stays codegen (no extra Python stage)."""
+    from engine.doc_queries import q_multimodal_meta
+
+    plan = _formatted(spark, q_multimodal_meta(spark, SF))
+    assert len(re.findall(r"\(\d+\) MapInPandas\b", plan)) == 1
+    assert "ArrowEvalPython" not in plan
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
     """Disk bucketing: both sides bucketed by the join key into the
     same bucket count join WITHOUT an Exchange — the co-located-join
