@@ -833,3 +833,50 @@ def stream_funnel_steps(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sink: exactly-once snapshot commits through TableIO
+# ---------------------------------------------------------------------------
+
+def stream_to_tableio(
+    sdf: DataFrame,
+    io,
+    table: str,
+    job_id: str,
+    ts_col: str | None = "ts",
+    checkpoint_dir: str | None = None,
+):
+    """Streaming sink with exactly-once SNAPSHOT semantics: each
+    micro-batch commits as one TableIO snapshot (manifest = the
+    commit, per-file lineage included) under
+    run_id = f"{job_id}-e{epoch:06d}".
+
+    foreachBatch is at-least-once — on failure Spark REPLAYS the epoch
+    with the SAME epoch id — so `TableIO.append`'s is_committed gate
+    turns the replay into a no-op: the standard idempotent-sink recipe,
+    here with the whole lineage/audit surface riding along (the same
+    `--lineage` CLI reads streaming epochs and batch runs alike).
+    Iceberg analog: writeTo().append() with a snapshot-summary epoch
+    stamp. The (job_id, checkpoint_dir) pair must be stable across
+    restarts — epoch ids are per-checkpoint, so a fresh checkpoint with
+    a reused job_id would collide with committed run_ids and skip.
+
+    Returns an un-started DataStreamWriter: caller picks the trigger,
+    e.g. `.trigger(availableNow=True).start()`.
+    """
+
+    def commit(batch_df: DataFrame, epoch_id: int) -> None:
+        io.append(
+            batch_df.sparkSession,
+            batch_df,
+            table,
+            f"{job_id}-e{int(epoch_id):06d}",
+            ts_col=ts_col,
+            extra_meta={"epoch": int(epoch_id), "streaming": True},
+        )
+
+    writer = sdf.writeStream.foreachBatch(commit).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

@@ -287,3 +287,47 @@ def test_stream_funnel_matches_batch(spark, tmp_path_factory):
         assert same.all(), merged.loc[~same].head()
     # the funnel discriminates: some sessions reach step 1
     assert got["step_view"].sum() > 0
+
+
+def test_stream_to_tableio_exactly_once(spark, transcripts_df, stream_source, tmp_path):
+    """Streaming sink commits each micro-batch as a TableIO snapshot;
+    an epoch replay (Spark's at-least-once foreachBatch contract) is a
+    no-op, and a restart from the same checkpoint adds nothing."""
+    from engine.schema import TRANSCRIPT_SCHEMA
+    from engine.streaming import stream_to_tableio
+    from engine.tableio import TableIO
+
+    io = TableIO(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        sdf = (
+            spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", "1")  # force multiple epochs
+            .parquet(stream_source)
+        )
+        q = (
+            stream_to_tableio(sdf, io, "raw_turns", "sjob", checkpoint_dir=ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    expected = transcripts_df.count()
+    assert io.read(spark, "raw_turns").count() == expected
+    runs = io.committed_runs("raw_turns")
+    assert len(runs) >= 2 and all(r.startswith("sjob-e") for r in runs)
+    # manifests carry the streaming epoch + lineage
+    m = io.read_manifest("raw_turns", runs[0])
+    assert m["streaming"] is True and m["total_rows"] > 0 and m["files"]
+
+    # simulated epoch REPLAY: re-committing an already-committed epoch
+    # id is a no-op (idempotent sink), rows unchanged
+    io.append(spark, transcripts_df, "raw_turns", runs[0])
+    assert io.read(spark, "raw_turns").count() == expected
+
+    # restart from the same checkpoint: stream is exhausted, no new runs
+    run()
+    assert io.committed_runs("raw_turns") == runs
+    assert io.read(spark, "raw_turns").count() == expected
