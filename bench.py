@@ -113,6 +113,13 @@ def run_bench(sf_dir: str, cpus: int, only: set[str] | None, n_turns: int) -> di
 
     import __spark_entry__ as entrymod
 
+    # one-time Python-worker spawn: the first Arrow-stage query in the
+    # loop would otherwise be charged ~2-3 s of process startup
+    # (measured: multimodal_meta 5.5 s cold vs 0.7 s warm)
+    spark.range(64).repartition(cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
     qtimes: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         if only and name not in only:

@@ -244,6 +244,49 @@ def test_connected_components_star_long_chain(spark):
         connected_components(vertices, pairs)
 
 
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Property check over random graphs: BOTH distributed CC
+    algorithms reproduce a single-process union-find oracle (min-id
+    labels), across densities from forest-sparse to near-complete."""
+    import random
+
+    from engine.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def union_find(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {i: find(i) for i in range(n)}
+
+    rng = random.Random(17)
+    for n_edges in (5, 25, 80):
+        n = 30
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        vertices = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        exp = union_find(n, edges)
+        for cc in (connected_components, connected_components_star):
+            got = {
+                r["doc_id"]: r["cluster_id"] for r in cc(vertices, pairs).collect()
+            }
+            assert got == exp, (cc.__name__, n_edges)
+
+
 def test_near_dup_clusters_planted(docs):
     """Docs 1/2/3 (exact dups after normalization? no — shingles are
     case-sensitive: 1,2 identical; 3 near; 4 near) cluster together at
