@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": Q.q_value_histogram,
         "session_funnel": Q.q_session_funnel,
         "funnel_steps": Q.q_funnel_steps,
+        "range_join_sessions": Q.q_range_join_sessions,
         "value_percentiles": Q.q_value_percentiles,
         "embed_centroid": Q.q_embed_centroid,
         "topk_event_types": Q.q_topk_event_types,
@@ -90,6 +91,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": Q.SQL_VALUE_HISTOGRAM,
         "session_funnel": Q.SQL_SESSION_FUNNEL,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
+        "range_join_sessions": Q.SQL_RANGE_JOIN_SESSIONS,
         "value_percentiles": Q.SQL_VALUE_PERCENTILES,
         "embed_centroid": Q.SQL_EMBED_CENTROID,
         "topk_event_types": Q.SQL_TOPK_EVENT_TYPES,

@@ -408,6 +408,65 @@ FROM per_sess
 """
 
 
+def q_range_join_sessions(spark, sf_dir):
+    """Interval (range) join via bucket blocking: each error event →
+    the per-user session interval [first_ts, last_ts] containing it.
+    Spark plans a raw point-in-interval theta join as
+    BroadcastNestedLoopJoin / per-key-quadratic SMJ filter; the
+    operator (engine/operators/rangejoin.py) turns it into a hash join
+    on (user_id, time_bucket) with exact containment after. The oracle
+    runs the plain theta join — same result, different plan."""
+    from engine.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    sec = core.ts_seconds("ts")
+    s = core.sessionize(ev, "user_id", "ts", "event_id", 1800.0, seq_col=None)
+    intervals = s.groupBy("user_id", "session_id").agg(
+        F.min(sec).alias("lo_s"), F.max(sec).alias("hi_s")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", sec.alias("ev_s")
+    )
+    out = interval_join(
+        errors, intervals, "ev_s", "lo_s", "hi_s",
+        keys=["user_id"], bucket_s=3600.0,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "session_id",
+        F.round(F.col("ev_s") - F.col("lo_s"), 6).alias("s_into_session"),
+    )
+
+
+SQL_RANGE_JOIN_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         epoch_us(ts) / 1000000.0 AS sec,
+         LAG(epoch_us(ts) / 1000000.0) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+  FROM events
+), b AS (
+  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800.0
+                 THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+            AS INT) AS session_id
+  FROM b
+), iv AS (
+  SELECT user_id, session_id, MIN(sec) AS lo_s, MAX(sec) AS hi_s
+  FROM s GROUP BY user_id, session_id
+)
+SELECT e.user_id, e.event_id, iv.session_id,
+       ROUND(e.sec - iv.lo_s, 6) AS s_into_session
+FROM s e JOIN iv ON e.user_id = iv.user_id
+                AND e.sec BETWEEN iv.lo_s AND iv.hi_s
+WHERE e.event_type = 'error'
+"""
+
+
 def q_rolling_approx(spark, sf_dir):
     """Rolling APPROX distinct count (HyperLogLog++) over the same
     event-time range frame as q_rolling — the advertised bench-scale
