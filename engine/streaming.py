@@ -880,3 +880,46 @@ def stream_to_tableio(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def stream_validated_ingest(
+    sdf: DataFrame,
+    io,
+    job_id: str,
+    good_table: str = "turns",
+    error_table: str = "errors",
+    ts_col: str | None = "ts",
+    checkpoint_dir: str | None = None,
+):
+    """Validated streaming ingestion: every micro-batch runs the
+    boundary quality gates (operators/quality.split_quarantine — typed
+    codes, never row failures) and commits BOTH sides as TableIO
+    snapshots. The quality split is per-row, so it is safe across
+    epoch boundaries (unlike window features, which need the state
+    machines above).
+
+    Commit order inside an epoch is errors-FIRST, then good rows —
+    the same crash rule as the batch runner (engine/runner.py): a
+    crash between the two commits re-runs the epoch (good-table
+    is_committed gate not yet set) rather than dropping error rows.
+    Replayed epochs are no-ops on both tables. Returns an un-started
+    DataStreamWriter."""
+    from engine.operators.quality import split_quarantine
+
+    def commit(batch_df: DataFrame, epoch_id: int) -> None:
+        good, errors = split_quarantine(batch_df)
+        run_id = f"{job_id}-e{int(epoch_id):06d}"
+        meta = {"epoch": int(epoch_id), "streaming": True}
+        io.append(
+            batch_df.sparkSession, errors, error_table, run_id,
+            ts_col=None, extra_meta=meta,
+        )
+        io.append(
+            batch_df.sparkSession, good, good_table, run_id,
+            ts_col=ts_col, extra_meta=meta,
+        )
+
+    writer = sdf.writeStream.foreachBatch(commit).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

@@ -331,3 +331,63 @@ def test_stream_to_tableio_exactly_once(spark, transcripts_df, stream_source, tm
     run()
     assert io.committed_runs("raw_turns") == runs
     assert io.read(spark, "raw_turns").count() == expected
+
+
+def test_stream_validated_ingest_quarantine_and_compact_restart(
+    spark, transcripts_df, tmp_path
+):
+    """Validated streaming ingest: per-epoch quality split with typed
+    codes, errors committed before good rows; compacting the epoch
+    snapshots then restarting the stream stays exactly-once (replayed
+    epochs hit is_committed even though their data was rewritten)."""
+    from pyspark.sql import functions as F
+
+    from engine.schema import TRANSCRIPT_SCHEMA
+    from engine.streaming import stream_validated_ingest
+    from engine.tableio import TableIO
+
+    # plant two bad rows among the good ones
+    bad = spark.createDataFrame(
+        [
+            ("cbad", 0, "alien_role", "x", None, transcripts_df.first()["ts"]),
+            ("cbad2", -1, "user", "y", None, transcripts_df.first()["ts"]),
+        ],
+        TRANSCRIPT_SCHEMA,
+    )
+    src = transcripts_df.unionByName(bad)
+    path = str(tmp_path / "src")
+    src.write.mode("overwrite").parquet(path)
+
+    io = TableIO(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        sdf = (
+            spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+        q = (
+            stream_validated_ingest(sdf, io, "vjob", checkpoint_dir=ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    n_src = src.count()
+    good = io.read(spark, "turns")
+    errs = io.read(spark, "errors")
+    assert good.count() + errs.count() == n_src
+    codes = {r["code"] for r in errs.select("code").distinct().collect()}
+    assert codes == {"INVALID_ENUM", "BAD_TURN_INDEX"}
+    assert good.filter(F.col("conv_id").startswith("cbad")).count() == 0
+
+    # compact the many small epoch snapshots, then restart the stream:
+    # nothing re-ingests, reads unchanged
+    runs_before = io.committed_runs("turns")
+    assert len(runs_before) >= 2
+    io.compact(spark, "turns", target_files=2)
+    run()
+    assert io.read(spark, "turns").count() == good.count()
+    assert [r for r in io.committed_runs("turns") if r.startswith("vjob-")] == runs_before
