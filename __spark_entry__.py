@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_funnel": Q.q_session_funnel,
         "funnel_steps": Q.q_funnel_steps,
         "range_join_sessions": Q.q_range_join_sessions,
+        "window_rank_stats": Q.q_window_rank_stats,
         "value_percentiles": Q.q_value_percentiles,
         "embed_centroid": Q.q_embed_centroid,
         "topk_event_types": Q.q_topk_event_types,
@@ -92,6 +93,7 @@ def oracle_sql() -> dict[str, str]:
         "session_funnel": Q.SQL_SESSION_FUNNEL,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "range_join_sessions": Q.SQL_RANGE_JOIN_SESSIONS,
+        "window_rank_stats": Q.SQL_WINDOW_RANK_STATS,
         "value_percentiles": Q.SQL_VALUE_PERCENTILES,
         "embed_centroid": Q.SQL_EMBED_CENTROID,
         "topk_event_types": Q.SQL_TOPK_EVENT_TYPES,

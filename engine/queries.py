@@ -467,6 +467,45 @@ WHERE e.event_type = 'error'
 """
 
 
+def q_window_rank_stats(spark, sf_dir):
+    """Ranking-window family in one pass: rank / dense_rank / ntile /
+    percent_rank / cume_dist over each user's purchase values — one
+    shuffle (user_id), one sort, five codegen window functions sharing
+    the frame."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SQL_WINDOW_RANK_STATS = """
+SELECT user_id, event_id,
+       ROUND(value, 6) AS value,
+       CAST(RANK() OVER w AS INT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM events
+WHERE event_type = 'purchase' AND value IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+"""
+
+
 def q_rolling_approx(spark, sf_dir):
     """Rolling APPROX distinct count (HyperLogLog++) over the same
     event-time range frame as q_rolling — the advertised bench-scale

@@ -391,3 +391,65 @@ def test_stream_validated_ingest_quarantine_and_compact_restart(
     run()
     assert io.read(spark, "turns").count() == good.count()
     assert [r for r in io.committed_runs("turns") if r.startswith("vjob-")] == runs_before
+
+
+def test_stream_funnel_state_survives_restart(spark, tmp_path):
+    """Query-restart state round-trip: half the events arrive in run 1,
+    the rest in run 2 from the same checkpoint. Sessions spanning the
+    boundary must resolve correctly, which requires the buffered events
+    AND the per-user session counter to survive the state store."""
+    from engine.queries import funnel_session_steps
+    from engine.streaming import stream_funnel_steps
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    mid = ev.selectExpr(
+        "to_timestamp(percentile(unix_timestamp(ts), 0.5)) AS m"
+    ).first()["m"]
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter(F.col("ts") <= mid).write.mode("overwrite").parquet(src)
+
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        # file sink, not memory: only fault-tolerant sinks support
+        # recovering a query from its checkpoint
+        sdf = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            stream_funnel_steps(sdf, gap_s=1800.0, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out_dir).toPandas()
+
+    got1 = run()
+    # second half lands (append, same source dir), stream restarts
+    ev.filter(F.col("ts") > mid).write.mode("append").parquet(src)
+    got = run()
+    assert len(got) > len(got1), "restarted stream emitted nothing"
+    # no session emitted twice across the restart
+    assert not got.duplicated(["user_id", "session_id"]).any()
+
+    exp = (
+        funnel_session_steps(ev)
+        .select(
+            "user_id", "session_id", "n_events",
+            "step_view", "step_view_click", "step_full",
+        )
+        .toPandas()
+    )
+    assert len(exp) - len(got) <= exp["user_id"].nunique()
+    merged = got.merge(
+        exp, on=["user_id", "session_id"], suffixes=("_s", "_b"), how="left"
+    )
+    assert merged["n_events_b"].notna().all()
+    for col in ("n_events", "step_view", "step_view_click", "step_full"):
+        same = merged[f"{col}_s"] == merged[f"{col}_b"]
+        assert same.all(), merged.loc[~same].head()
