@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": Q.q_funnel_steps,
         "range_join_sessions": Q.q_range_join_sessions,
         "window_rank_stats": Q.q_window_rank_stats,
+        "pivot_event_counts": Q.q_pivot_event_counts,
+        "unpivot_lineitem": Q.q_unpivot_lineitem,
         "value_percentiles": Q.q_value_percentiles,
         "embed_centroid": Q.q_embed_centroid,
         "topk_event_types": Q.q_topk_event_types,
@@ -94,6 +96,8 @@ def oracle_sql() -> dict[str, str]:
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "range_join_sessions": Q.SQL_RANGE_JOIN_SESSIONS,
         "window_rank_stats": Q.SQL_WINDOW_RANK_STATS,
+        "pivot_event_counts": Q.SQL_PIVOT_EVENT_COUNTS,
+        "unpivot_lineitem": Q.SQL_UNPIVOT_LINEITEM,
         "value_percentiles": Q.SQL_VALUE_PERCENTILES,
         "embed_centroid": Q.SQL_EMBED_CENTROID,
         "topk_event_types": Q.SQL_TOPK_EVENT_TYPES,

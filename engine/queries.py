@@ -506,6 +506,71 @@ WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
 """
 
 
+def q_pivot_event_counts(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns. Values are listed
+    EXPLICITLY — `.pivot(col)` without values runs a distinct-scan
+    discovery job before the plan exists (same doctrine as the
+    flagship's explicit tool vocab). One hash agg; limited to the
+    first 200 users to keep the gate result bounded."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.filter(F.col("user_id") < 200)
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+        .select("user_id", *[F.col(k).alias(f"n_{k}") for k in kinds])
+    )
+
+
+SQL_PIVOT_EVENT_COUNTS = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+FROM events WHERE user_id < 200 GROUP BY user_id
+"""
+
+
+def q_unpivot_lineitem(spark, sf_dir):
+    """Unpivot (melt): lineitem's four numeric measures to long-format
+    (measure, value) rows — the wide→long reshape a feature store
+    needs; pure projection + generate, no shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 200)
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "value",
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "measure",
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+SQL_UNPIVOT_LINEITEM = """
+SELECT l_orderkey, l_linenumber, measure, ROUND(value, 6) AS value
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+         CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+)
+WHERE l_orderkey < 200
+"""
+
+
 def q_rolling_approx(spark, sf_dir):
     """Rolling APPROX distinct count (HyperLogLog++) over the same
     event-time range frame as q_rolling — the advertised bench-scale
