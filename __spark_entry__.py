@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_stats": Q.q_window_rank_stats,
         "pivot_event_counts": Q.q_pivot_event_counts,
         "unpivot_lineitem": Q.q_unpivot_lineitem,
+        "set_ops_users": Q.q_set_ops_users,
+        "semi_anti_customers": Q.q_semi_anti_customers,
         "value_percentiles": Q.q_value_percentiles,
         "embed_centroid": Q.q_embed_centroid,
         "topk_event_types": Q.q_topk_event_types,
@@ -98,6 +100,8 @@ def oracle_sql() -> dict[str, str]:
         "window_rank_stats": Q.SQL_WINDOW_RANK_STATS,
         "pivot_event_counts": Q.SQL_PIVOT_EVENT_COUNTS,
         "unpivot_lineitem": Q.SQL_UNPIVOT_LINEITEM,
+        "set_ops_users": Q.SQL_SET_OPS_USERS,
+        "semi_anti_customers": Q.SQL_SEMI_ANTI_CUSTOMERS,
         "value_percentiles": Q.SQL_VALUE_PERCENTILES,
         "embed_centroid": Q.SQL_EMBED_CENTROID,
         "topk_event_types": Q.SQL_TOPK_EVENT_TYPES,

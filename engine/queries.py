@@ -571,6 +571,69 @@ WHERE l_orderkey < 200
 """
 
 
+def q_set_ops_users(spark, sf_dir):
+    """Relational set ops over user cohorts: viewers INTERSECT
+    purchasers (engaged), signups EXCEPT purchasers (never converted),
+    tagged and unioned. Catalyst plans INTERSECT/EXCEPT as left-semi /
+    left-anti hash joins on the deduped sides."""
+    ev = _t(spark, sf_dir, "events")
+
+    def cohort(kind):
+        return ev.filter(F.col("event_type") == kind).select("user_id").distinct()
+
+    engaged = (
+        cohort("view")
+        .intersect(cohort("purchase"))
+        .select("user_id", F.lit("viewed_and_purchased").alias("cohort"))
+    )
+    lapsed = (
+        cohort("signup")
+        .exceptAll(cohort("purchase"))
+        .select("user_id", F.lit("signup_no_purchase").alias("cohort"))
+    )
+    return engaged.unionByName(lapsed)
+
+
+SQL_SET_OPS_USERS = """
+SELECT user_id, 'viewed_and_purchased' AS cohort FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+UNION ALL
+SELECT user_id, 'signup_no_purchase' AS cohort FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+"""
+
+
+def q_semi_anti_customers(spark, sf_dir):
+    """Explicit left-semi / left-anti joins: customers WITH at least
+    one order vs customers WITHOUT, tagged and unioned — the existence
+    join pair (EXISTS / NOT EXISTS) without materializing the orders
+    side."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_mktsegment", F.lit(True).alias("has_orders"))
+    without = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_mktsegment", F.lit(False).alias("has_orders"))
+    return with_orders.unionByName(without)
+
+
+SQL_SEMI_ANTI_CUSTOMERS = """
+SELECT c_custkey, c_mktsegment, TRUE AS has_orders
+FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, c_mktsegment, FALSE AS has_orders
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
 def q_rolling_approx(spark, sf_dir):
     """Rolling APPROX distinct count (HyperLogLog++) over the same
     event-time range frame as q_rolling — the advertised bench-scale
