@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax_value": Q.q_argmax_value,
         "bin_users": Q.q_bin_users,
         "json_props": Q.q_json_props,
+        "variant_props": Q.q_variant_props,
         "hex_format": Q.q_hex_format,
         "luminance": Q.q_luminance,
         "quarantine": Q.q_quarantine,
@@ -110,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "argmax_value": Q.SQL_ARGMAX_VALUE,
         "bin_users": Q.SQL_BIN_USERS,
         "json_props": Q.SQL_JSON_PROPS,
+        "variant_props": Q.SQL_VARIANT_PROPS,
         "hex_format": Q.SQL_HEX_FORMAT,
         "luminance": Q.SQL_LUMINANCE,
         "quarantine": Q.SQL_QUARANTINE,

@@ -846,6 +846,30 @@ FROM events
 """
 
 
+def q_variant_props(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured data: parse_json once
+    into a variant value, typed extraction via try_variant_get — the
+    shredding-friendly encoding for JSON at 100 TB (each access of
+    get_json_object re-parses the string; a variant parses once and
+    Parquet variant shredding pushes field access into the scan).
+    Missing paths yield NULL, not errors (try_ semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_str"),
+    )
+
+
+SQL_VARIANT_PROPS = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       json_extract_string(props, '$.missing') AS missing_str
+FROM events
+"""
+
+
 def q_hex_format(spark, sf_dir):
     """rgb→hex key formatting (P1) + parse-back round trip (P2)."""
     ev = _t(spark, sf_dir, "events")
