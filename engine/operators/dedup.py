@@ -106,7 +106,19 @@ def minhash_signature(
     """Per-document MinHash signature: sig_h = MIN over shingles of
     md5(shingle || '#' || h). Hex-string min == numeric min (fixed
     width). Docs with zero shingles are dropped (nothing to hash).
-    Narrow projection — no shuffle."""
+    Narrow projection — no shuffle.
+
+    PERF NOTE (measured, round 3 — do not "optimize" this): deriving
+    4×32-bit hashes per md5 (4× fewer md5 calls) made this SLOWER,
+    twice over. (a) Higher-order functions are codegen-fallback, so a
+    shared md5-array subtree referenced by several sig columns is NOT
+    subexpression-eliminated — projection collapse inlines it into
+    every consumer (8 transforms × 2 md5s = 16 md5s/shingle, 5.4 s vs
+    4.2 s). (b) Folding all mins into one `aggregate` with a zip_with
+    merge behind an explode barrier evaluates each md5 once but pays
+    interpreted per-element HOF overhead on 8 least/conv/substring ops
+    plus an 8-array allocation per shingle: 8.4 s. Eight independent
+    flat `transform`s of one cheap md5 each is the fastest shape."""
     out = (
         with_shingles(df.select(id_col, text_col), text_col, shingle_n)
         .select(id_col, "shingles")
