@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": Q.q_pivot_event_counts,
         "unpivot_lineitem": Q.q_unpivot_lineitem,
         "set_ops_users": Q.q_set_ops_users,
+        "dedup_sessions": Q.q_dedup_sessions,
         "semi_anti_customers": Q.q_semi_anti_customers,
         "value_percentiles": Q.q_value_percentiles,
         "embed_centroid": Q.q_embed_centroid,
@@ -102,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_event_counts": Q.SQL_PIVOT_EVENT_COUNTS,
         "unpivot_lineitem": Q.SQL_UNPIVOT_LINEITEM,
         "set_ops_users": Q.SQL_SET_OPS_USERS,
+        "dedup_sessions": Q.SQL_DEDUP_SESSIONS,
         "semi_anti_customers": Q.SQL_SEMI_ANTI_CUSTOMERS,
         "value_percentiles": Q.SQL_VALUE_PERCENTILES,
         "embed_centroid": Q.SQL_EMBED_CENTROID,

@@ -634,6 +634,71 @@ FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c
 """
 
 
+def q_dedup_sessions(spark, sf_dir):
+    """Cross-family composition — the 'dedup conversations' pipeline
+    step: sessionize → stable ordered assembly of each session's
+    event-type path → exact dedup on the md5 fingerprint of the path.
+    Groups with n_dups > 1 are behaviorally identical sessions; the
+    canonical keeps the smallest (user_id, session_id). The text/path
+    itself never shuffles twice: the fingerprint is computed in the
+    same aggregation pass as the assembly."""
+    ev = _t(spark, sf_dir, "events")
+    s = core.sessionize(ev, "user_id", "ts", "event_id", SESSION_GAP_S, seq_col=None)
+    per = s.groupBy("user_id", "session_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x.event_type,
+                ),
+                ">",
+            )
+        ).alias("fingerprint")
+    )
+    # lexicographic-min canonical as one scalar key (portable: struct
+    # MIN and DuckDB's arg_min tuple support differ across engines)
+    key = F.col("user_id") * F.lit(1_000_000_000) + F.col("session_id")
+    return (
+        per.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(key).alias("_k"))
+        .select(
+            "fingerprint",
+            "n_dups",
+            F.floor(F.col("_k") / 1_000_000_000).cast("long").alias("canonical_user"),
+            (F.col("_k") % 1_000_000_000).cast("int").alias("canonical_session"),
+        )
+    )
+
+
+SQL_DEDUP_SESSIONS = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1e6 > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT) AS session_id
+  FROM g
+),
+per AS (
+  SELECT user_id, session_id,
+         md5(STRING_AGG(event_type, '>' ORDER BY ts, event_id)) AS fingerprint,
+         user_id * 1000000000 + session_id AS k
+  FROM s GROUP BY user_id, session_id
+)
+SELECT fingerprint, COUNT(*) AS n_dups,
+       CAST(FLOOR(MIN(k) / 1000000000) AS BIGINT) AS canonical_user,
+       CAST(MIN(k) % 1000000000 AS INT) AS canonical_session
+FROM per GROUP BY fingerprint
+"""
+
+
 def q_rolling_approx(spark, sf_dir):
     """Rolling APPROX distinct count (HyperLogLog++) over the same
     event-time range frame as q_rolling — the advertised bench-scale
