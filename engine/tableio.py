@@ -95,6 +95,7 @@ class TableIO:
         ts_col: str | None = "ts",
         extra_meta: dict | None = None,
         partition_by: list[str] | None = None,
+        range_layout: bool | int = False,
     ) -> dict:
         """Stage `df` as a new snapshot and atomically commit its
         manifest. Returns the manifest. No-op (returns the existing
@@ -104,12 +105,30 @@ class TableIO:
         these columns (e.g. an event-date column) — readers filtering
         on them then prune whole directories before any IO; the
         manifest's per-file lineage keys the partition values in the
-        file paths. The Iceberg analog is the table's partition spec."""
+        file paths. The Iceberg analog is the table's partition spec.
+
+        `range_layout`: range-repartition + sort the snapshot on
+        `ts_col` before writing, so each data FILE covers a disjoint
+        slice of event time and the manifest's per-file watermarks
+        become a pruning index — `read(ts_range=...)` then skips
+        whole files before any IO (Iceberg's min/max file pruning,
+        over our own lineage records). Costs one shuffle at WRITE
+        time, amortized over every later time-scoped scan. Pass an
+        int to pin the file count (True lets AQE pick, which may
+        coalesce a small snapshot to one file and no pruning index)."""
         if self.is_committed(table, run_id):
             return self.read_manifest(table, run_id)
 
         data_dir = self._data_dir(table, run_id)
         t0 = time.time()
+        if range_layout:
+            if not ts_col or ts_col not in df.columns:
+                raise ValueError("range_layout requires ts_col in df")
+            if isinstance(range_layout, bool):
+                df = df.repartitionByRange(F.col(ts_col))
+            else:
+                df = df.repartitionByRange(int(range_layout), F.col(ts_col))
+            df = df.sortWithinPartitions(ts_col)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -263,7 +282,11 @@ class TableIO:
             return json.load(fh)
 
     def read(
-        self, spark: SparkSession, table: str, as_of: str | None = None
+        self,
+        spark: SparkSession,
+        table: str,
+        as_of: str | None = None,
+        ts_range: tuple[str, str] | None = None,
     ) -> DataFrame:
         """Scan exactly the files of committed snapshots — orphaned
         staging data from crashed runs is invisible.
@@ -275,7 +298,18 @@ class TableIO:
         `replaces` are skipped (their rows live in the compacted
         snapshot); a compaction always carries a higher commit_seq than
         everything it replaces, so an `as_of` at a pre-compaction run
-        excludes the compaction and still sees the originals."""
+        excludes the compaction and still sees the originals.
+
+        `ts_range=(lo, hi)`: manifest-watermark FILE pruning (the
+        Iceberg min/max pruning analog): only files whose
+        [watermark_lo, watermark_hi] overlaps [lo, hi] are scanned —
+        zero IO for the rest. Bounds are inclusive timestamp STRINGS
+        in the manifest's format ('YYYY-MM-DD HH:MM:SS[.ffffff]',
+        lexicographic == chronological for the uniform rendering);
+        pruning is exact only in the sense that no overlapping file is
+        skipped — rows outside the range inside a kept file still need
+        the usual ts filter (pair with `range_layout=True` appends,
+        which make file spans disjoint and the residue small)."""
         order = self._commit_order(table)
         if as_of is not None:
             cut = next((key for key, r in order if r == as_of), None)
@@ -289,13 +323,26 @@ class TableIO:
         replaced: set[str] = set()
         for run_id in included:
             replaced.update(self.read_manifest(table, run_id).get("replaces") or [])
+        def keep(entry: dict) -> bool:
+            if ts_range is None:
+                return True
+            lo, hi = ts_range
+            wlo, whi = entry.get("watermark_lo"), entry.get("watermark_hi")
+            if wlo is None or whi is None:
+                return True  # no stats → cannot prune safely
+            return whi >= lo and wlo <= hi
+
         flat: list[str] = []
         partitioned: dict[str, list[str]] = {}
+        all_files: list[str] = []
         for run_id in included:
             if run_id in replaced:
                 continue
             m = self.read_manifest(table, run_id)
-            fs = [e["file"] for e in m["files"]]
+            all_files += [e["file"] for e in m["files"]]
+            fs = [e["file"] for e in m["files"] if keep(e)]
+            if not fs:
+                continue
             if m.get("partition_by"):
                 # hive-partitioned snapshot: explicit file lists drop
                 # the partition columns unless read under their basePath
@@ -303,6 +350,9 @@ class TableIO:
             else:
                 flat += fs
         if not flat and not partitioned:
+            if ts_range is not None and all_files:
+                # every file pruned: empty result with the table schema
+                return spark.read.parquet(all_files[0]).filter(F.lit(False))
             raise FileNotFoundError(f"no committed snapshots for table {table!r}")
         dfs = []
         if flat:

@@ -110,3 +110,57 @@ def test_plan_is_hash_join_not_nested_loop(spark, frames):
         assert re.search(r"SortMergeJoin|ShuffledHashJoin", plan), plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_interval_join_matches_theta_join_random(spark):
+    """Property check: on random facts/intervals (including intervals
+    much longer and much shorter than the bucket width, shared keys,
+    exact-boundary hits), the bucket-blocked join equals the naive
+    theta join for inner AND left modes."""
+    import random
+
+    rng = random.Random(4242)
+    facts = spark.createDataFrame(
+        [
+            (f"u{rng.randrange(4)}", i, round(rng.uniform(0, 50_000), 3))
+            for i in range(300)
+        ],
+        "user_id string, event_id long, ev_s double",
+    )
+    ivs = []
+    for j in range(60):
+        lo = round(rng.uniform(0, 50_000), 3)
+        length = rng.choice([5.0, 500.0, 9_000.0])  # « w, ~w, » w
+        ivs.append((f"u{rng.randrange(4)}", f"iv{j}", lo, round(lo + length, 3)))
+    intervals = spark.createDataFrame(
+        ivs, "user_id string, iv_id string, lo_s double, hi_s double"
+    )
+
+    naive = facts.alias("f").join(
+        intervals.alias("i"),
+        (F.col("f.user_id") == F.col("i.user_id"))
+        & (F.col("f.ev_s") >= F.col("i.lo_s"))
+        & (F.col("f.ev_s") <= F.col("i.hi_s")),
+    )
+    expect = {
+        (r["event_id"], r["iv_id"]) for r in naive.select("event_id", "iv_id").collect()
+    }
+    got = {
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(
+            facts, intervals, "ev_s", "lo_s", "hi_s",
+            keys=["user_id"], bucket_s=3600.0,
+        ).collect()
+    }
+    assert got == expect and len(expect) > 0
+
+    left = interval_join(
+        facts, intervals, "ev_s", "lo_s", "hi_s",
+        keys=["user_id"], bucket_s=3600.0, how="left",
+    ).collect()
+    matched = {(r["event_id"], r["iv_id"]) for r in left if r["iv_id"] is not None}
+    unmatched = {r["event_id"] for r in left if r["iv_id"] is None}
+    assert matched == expect
+    assert unmatched == {
+        r["event_id"] for r in facts.collect()
+    } - {e for e, _ in expect}

@@ -202,3 +202,39 @@ def test_lineage_dataframe(spark, transcripts_df, context_df, io):
     for x in summary["batches"]:
         assert per_run[f"jobl-b{x['batch']:04d}"] == x["rows"]
     assert lin.filter("watermark_lo IS NULL").count() == 0
+
+
+def test_range_layout_watermark_pruning(spark, transcripts_df, io):
+    """range_layout appends write each file as a disjoint event-time
+    slice (manifest watermarks become a pruning index); read(ts_range)
+    scans only the overlapping files — same rows as a full-scan filter,
+    strictly fewer input files. The Iceberg min/max file-pruning
+    analog over TableIO's own lineage records."""
+    from pyspark.sql import functions as F
+
+    m = io.append(
+        spark, transcripts_df, "laid", "run-r1",
+        ts_col="ts", range_layout=8,
+    )
+    assert m["n_files"] >= 4
+    # disjoint, ordered file spans (allowing boundary ties)
+    spans = sorted((f["watermark_lo"], f["watermark_hi"]) for f in m["files"])
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+
+    lo, hi = spans[1][0], spans[1][1]  # exactly one file's span
+    pruned = io.read(spark, "laid", ts_range=(lo, hi))
+    n_scanned = len(pruned.inputFiles())
+    assert n_scanned < m["n_files"]
+    expect = transcripts_df.filter(
+        (F.col("ts").cast("string") >= lo) & (F.col("ts").cast("string") <= hi)
+    ).count()
+    got = pruned.filter(
+        (F.col("ts").cast("string") >= lo) & (F.col("ts").cast("string") <= hi)
+    ).count()
+    assert got == expect > 0
+
+    # range entirely outside the table: zero files, empty frame, schema kept
+    empty = io.read(spark, "laid", ts_range=("2099-01-01 00:00:00", "2099-12-31 00:00:00"))
+    assert empty.count() == 0
+    assert empty.columns == io.read(spark, "laid").columns
