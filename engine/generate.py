@@ -196,3 +196,74 @@ def generate_context_events(
         }
     )
     return df.iloc[rng.permutation(n)].reset_index(drop=True)
+
+
+def generate_transcripts_conv_range(
+    conv_lo: int,
+    conv_hi: int,
+    seed: int = 42,
+    max_turns: int = 400,
+    start: str = "2024-01-01",
+) -> pd.DataFrame:
+    """Per-CONVERSATION-seeded generator over conv ids [conv_lo,
+    conv_hi): conversation c's rows depend only on (seed, c), so any
+    partitioning of the id range produces byte-identical union — the
+    partition-invariance contract of the distributed source
+    (engine/sources/transcript_source.py). Distributions mirror
+    generate_transcripts (zipf sizes, role perturbation, stressor text
+    pool, ~60% null zipf tools, gap-mixture timestamps, ~1%
+    duplicate-ts ties); the draws differ from the table-seeded
+    generator because seeding is per conversation."""
+    pool = _build_text_pool(np.random.default_rng([seed, 2**31]))
+    frames = []
+    for c in range(conv_lo, conv_hi):
+        rng = np.random.default_rng([seed, c])
+        n = int(np.clip(rng.zipf(1.5), 2, max_turns))
+        turn_idx = np.arange(n)
+
+        base_role = np.where(turn_idx % 2 == 0, 0, 1)
+        perturb = rng.random(n)
+        role_ord = np.where(perturb < 0.06, 2, np.where(perturb < 0.14, 3, base_role))
+        role = np.array(ROLES, dtype=object)[role_ord]
+
+        text = pool[rng.integers(0, TEXT_POOL_SIZE, size=n)].copy()
+        u = rng.random(n)
+        text[u < 0.02] = None
+        text[(u >= 0.02) & (u < 0.05)] = ""
+
+        tool_rank = np.minimum(rng.zipf(1.6, size=n) - 1, len(TOOLS) - 1)
+        tool = np.array(TOOLS, dtype=object)[tool_rank]
+        tool_null = (rng.random(n) < 0.60) & (role != "tool")
+        tool[tool_null] = None
+
+        long_gap = rng.random(n) < 0.20
+        gaps = np.where(
+            long_gap,
+            rng.uniform(45 * 60, 6 * 3600, size=n),
+            rng.uniform(1.0, 120.0, size=n),
+        )
+        gaps[0] = rng.uniform(0, 30 * 86400)  # conversation start offset
+        ts_s = np.add.accumulate(gaps)
+        dup = (rng.random(n) < 0.01) & (turn_idx > 0)
+        idx = np.nonzero(dup)[0]
+        ts_s[idx] = ts_s[idx - 1]
+        ts = pd.Timestamp(start) + pd.to_timedelta(np.round(ts_s, 3), unit="s")
+
+        frames.append(
+            pd.DataFrame(
+                {
+                    "conv_id": f"conv-{c:08d}",
+                    "turn_idx": turn_idx.astype(np.int32),
+                    "role": role,
+                    "text": text,
+                    "tool": tool,
+                    "ts": ts,
+                }
+            )
+        )
+    if not frames:
+        return pd.DataFrame(
+            {"conv_id": [], "turn_idx": [], "role": [], "text": [],
+             "tool": [], "ts": []}
+        )
+    return pd.concat(frames, ignore_index=True)

@@ -1,0 +1,84 @@
+"""Custom Python DataSource (Spark 4 pyspark.sql.datasource API): the
+synthetic transcript table as a REGISTERED batch source —
+
+    spark.dataSource.register(TranscriptDataSource)
+    spark.read.format("transcripts")
+         .option("n_convs", 10000).option("partitions", 32).load()
+
+Each input partition generates a contiguous conversation-id range on
+its EXECUTOR (per-conversation seeding, engine/generate.py:
+generate_transcripts_conv_range), so the table materializes fully in
+parallel with no driver-side row construction and is byte-identical
+under any partition count — unlike the driver-built
+generate_transcripts path, which builds the whole pandas frame in one
+process. Rows cross to the JVM as Arrow RecordBatches (the API's fast
+path), never tuple-at-a-time.
+
+This is the engine's §2.1 'source connector' surface exercised for
+real: schema declaration, option handling, partition planning, and
+executor-side reads through the public DataSource API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class ConvRangePartition(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo = lo
+        self.hi = hi
+
+
+class TranscriptDataSourceReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_convs = int(options.get("n_convs", 300))
+        self.seed = int(options.get("seed", 42))
+        self.n_parts = int(options.get("partitions", 8))
+        self.max_turns = int(options.get("max_turns", 400))
+
+    def partitions(self):
+        step = max(1, -(-self.n_convs // self.n_parts))  # ceil div
+        return [
+            ConvRangePartition(lo, min(lo + step, self.n_convs))
+            for lo in range(0, self.n_convs, step)
+        ]
+
+    def read(self, partition: ConvRangePartition):
+        import pyarrow as pa
+
+        from engine.generate import generate_transcripts_conv_range
+
+        pdf = generate_transcripts_conv_range(
+            partition.lo, partition.hi, seed=self.seed, max_turns=self.max_turns
+        )
+        # Arrow fast path: yield RecordBatches, not per-row tuples.
+        # Cast to the declared schema exactly — pandas conversion yields
+        # ns timestamps, which the JVM consumer rejects (expects us).
+        target = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("role", pa.string()),
+                ("text", pa.string()),
+                ("tool", pa.string()),
+                ("ts", pa.timestamp("us")),
+            ]
+        )
+        table = pa.Table.from_pandas(pdf, preserve_index=False).cast(target)
+        yield from table.to_batches(max_chunksize=10_000)
+
+
+class TranscriptDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "transcripts"
+
+    def schema(self) -> str:
+        return (
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+
+    def reader(self, schema) -> TranscriptDataSourceReader:
+        return TranscriptDataSourceReader(self.options)

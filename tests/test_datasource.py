@@ -1,0 +1,69 @@
+"""Custom Python DataSource (spark.read.format('transcripts')):
+schema contract, executor-side parallel generation, and partition-count
+invariance of the produced table."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    from engine.sources.transcript_source import TranscriptDataSource
+
+    spark.dataSource.register(TranscriptDataSource)
+    return spark
+
+
+def _load(spark, n_convs, partitions, seed=7):
+    return (
+        spark.read.format("transcripts")
+        .option("n_convs", n_convs)
+        .option("partitions", partitions)
+        .option("seed", seed)
+        .load()
+    )
+
+
+def test_schema_and_parallelism(registered):
+    df = _load(registered, 40, 4)
+    assert [f.name for f in df.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    ]
+    assert df.rdd.getNumPartitions() == 4
+    assert df.select("conv_id").distinct().count() == 40
+    # every conversation has >= 2 turns and dense 0-based turn_idx
+    from pyspark.sql import functions as F
+
+    per = df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("turn_idx").alias("lo"),
+        F.max("turn_idx").alias("hi"),
+    )
+    bad = per.filter(
+        (F.col("n") < 2) | (F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)
+    ).count()
+    assert bad == 0
+
+
+def test_partition_count_invariance(registered):
+    """Per-conversation seeding: the SAME table regardless of how the
+    conv range is partitioned."""
+    a = sorted(
+        map(tuple, _load(registered, 30, 2).collect())
+    )
+    b = sorted(
+        map(tuple, _load(registered, 30, 8).collect())
+    )
+    assert a == b and len(a) > 60
+
+
+def test_source_feeds_pipeline(registered):
+    """End-to-end: the registered source drives the flagship feature
+    pipeline directly (no parquet staging)."""
+    from engine.pipeline import extract_features
+
+    t = _load(registered, 25, 4)
+    feats, errs, _meta = extract_features(registered, t, None)
+    assert feats.count() == t.count()
+    assert errs.count() == 0

@@ -28,6 +28,7 @@ import engine.operators.core, engine.operators.asof, engine.operators.dedup
 import engine.operators.similarity, engine.operators.rangejoin
 import engine.operators.quality, engine.operators.skew, engine.operators.topk
 import engine.operators.windows
+import engine.sources.transcript_source
 print("ZIP_IMPORT_OK")
 """ % (out, out)
     r = subprocess.run(
