@@ -21,7 +21,12 @@ executor-side reads through the public DataSource API.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class ConvRangePartition(InputPartition):
@@ -45,28 +50,74 @@ class TranscriptDataSourceReader(DataSourceReader):
         ]
 
     def read(self, partition: ConvRangePartition):
-        import pyarrow as pa
-
-        from engine.generate import generate_transcripts_conv_range
-
-        pdf = generate_transcripts_conv_range(
-            partition.lo, partition.hi, seed=self.seed, max_turns=self.max_turns
+        # Arrow fast path: yield RecordBatches cast to the declared
+        # schema (pandas ns timestamps are rejected by the JVM
+        # consumer, which expects us), never per-row tuples.
+        yield from _gen_batches(
+            partition.lo, partition.hi, self.seed, self.max_turns
         )
-        # Arrow fast path: yield RecordBatches, not per-row tuples.
-        # Cast to the declared schema exactly — pandas conversion yields
-        # ns timestamps, which the JVM consumer rejects (expects us).
-        target = pa.schema(
-            [
-                ("conv_id", pa.string()),
-                ("turn_idx", pa.int32()),
-                ("role", pa.string()),
-                ("text", pa.string()),
-                ("tool", pa.string()),
-                ("ts", pa.timestamp("us")),
-            ]
+
+
+def _gen_batches(lo: int, hi: int, seed: int, max_turns: int):
+    import pyarrow as pa
+
+    from engine.generate import generate_transcripts_conv_range
+
+    pdf = generate_transcripts_conv_range(lo, hi, seed=seed, max_turns=max_turns)
+    target = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    table = pa.Table.from_pandas(pdf, preserve_index=False).cast(target)
+    yield from table.to_batches(max_chunksize=10_000)
+
+
+class TranscriptStreamReader(DataSourceStreamReader):
+    """Streaming half of the same source: offsets are conversation
+    counters; each micro-batch emits the next `rate` conversations
+    (executor-side generation, identical rows to the batch reader for
+    the same (seed, conv) — dual-mode parity is tested). Offsets are
+    plain dicts, so checkpoint recovery replays exact conv ranges
+    (readBetweenOffsets semantics come free: read(partitions(start,
+    end)) is deterministic)."""
+
+    def __init__(self, options: dict):
+        self.n_convs = int(options.get("n_convs", 300))
+        self.seed = int(options.get("seed", 42))
+        self.max_turns = int(options.get("max_turns", 400))
+        self.rate = int(options.get("convs_per_batch", 50))
+        self.n_parts = int(options.get("partitions", 4))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"conv": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(self._latest + self.rate, self.n_convs)
+        return {"conv": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["conv"]), int(end["conv"])
+        if hi <= lo:
+            return [ConvRangePartition(lo, lo)]
+        step = max(1, -(-(hi - lo) // self.n_parts))
+        return [
+            ConvRangePartition(p, min(p + step, hi)) for p in range(lo, hi, step)
+        ]
+
+    def read(self, partition: ConvRangePartition):
+        yield from _gen_batches(
+            partition.lo, partition.hi, self.seed, self.max_turns
         )
-        table = pa.Table.from_pandas(pdf, preserve_index=False).cast(target)
-        yield from table.to_batches(max_chunksize=10_000)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up — generation is pure
 
 
 class TranscriptDataSource(DataSource):
@@ -82,3 +133,6 @@ class TranscriptDataSource(DataSource):
 
     def reader(self, schema) -> TranscriptDataSourceReader:
         return TranscriptDataSourceReader(self.options)
+
+    def streamReader(self, schema) -> TranscriptStreamReader:
+        return TranscriptStreamReader(self.options)

@@ -67,3 +67,35 @@ def test_source_feeds_pipeline(registered):
     feats, errs, _meta = extract_features(registered, t, None)
     assert feats.count() == t.count()
     assert errs.count() == 0
+
+
+def test_stream_reader_matches_batch(registered, tmp_path):
+    """Dual-mode source: readStream over the same format emits exactly
+    the batch reader's rows (per-conversation seeding), across several
+    micro-batches of convs_per_batch conversations."""
+    import time
+
+    sdf = (
+        registered.readStream.format("transcripts")
+        .option("n_convs", 30)
+        .option("seed", 7)
+        .option("convs_per_batch", 8)
+        .option("partitions", 3)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_src_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    expect = sorted(map(tuple, _load(registered, 30, 4).collect()))
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        got = registered.sql("SELECT * FROM t_src_stream").collect()
+        if len(got) >= len(expect):
+            break
+        time.sleep(1)
+    q.stop()
+    assert sorted(map(tuple, got)) == expect
