@@ -234,6 +234,54 @@ class TableIO:
             extra_meta={"replaces": runs},
         )
 
+    def expire_replaced(self, table: str) -> dict:
+        """Physically delete the data files of snapshots a committed
+        compaction has replaced — the storage-reclamation half of
+        `compact()` (Iceberg's expire_snapshots): compaction rewrites
+        rows but deliberately leaves the originals for time-travel;
+        once history is no longer needed, this reclaims the space.
+
+        Each expired snapshot's manifest is REWRITTEN (atomically) as a
+        tombstone — commit_seq, run metadata and row totals survive,
+        `files` empties, `expired: true` is stamped — so
+        `is_committed()` keeps answering True and resumable jobs never
+        re-run expired batches. A later time-travel read that NEEDS an
+        expired snapshot raises a clear error instead of silently
+        returning partial data. Current-table reads are unaffected
+        (expired snapshots are by definition replaced)."""
+        import shutil
+
+        replaced = self._replaced(table)
+        expired, n_deleted, bytes_reclaimed = [], 0, 0
+        for run_id in sorted(replaced):
+            m = self.read_manifest(table, run_id)
+            if m.get("expired"):
+                continue
+            for e in m["files"]:
+                local = e["file"].removeprefix("file://").removeprefix("file:")
+                if os.path.exists(local):
+                    n_deleted += 1
+                    bytes_reclaimed += os.path.getsize(local)
+                    os.remove(local)
+            shutil.rmtree(self._data_dir(table, run_id), ignore_errors=True)
+            tomb = {
+                **m,
+                "files": [],
+                "n_files": 0,
+                "expired": True,
+                "expired_at_epoch_s": time.time(),
+            }
+            tmp = self._manifest_path(table, run_id) + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(tomb, fh, indent=1)
+            os.replace(tmp, self._manifest_path(table, run_id))
+            expired.append(run_id)
+        return {
+            "expired_run_ids": expired,
+            "files_deleted": n_deleted,
+            "bytes_reclaimed": bytes_reclaimed,
+        }
+
     def lineage(self, spark: SparkSession, table: str) -> DataFrame:
         """Per-FILE lineage across all committed snapshots as a
         DataFrame (run_id, file, rows, bytes, watermark_lo/hi,
@@ -339,6 +387,12 @@ class TableIO:
             if run_id in replaced:
                 continue
             m = self.read_manifest(table, run_id)
+            if m.get("expired"):
+                raise FileNotFoundError(
+                    f"snapshot {run_id!r} of table {table!r} was expired by "
+                    f"expire_replaced(): its data files are gone, so this "
+                    f"(time-travel) read can no longer be served"
+                )
             all_files += [e["file"] for e in m["files"]]
             fs = [e["file"] for e in m["files"] if keep(e)]
             if not fs:
@@ -354,16 +408,20 @@ class TableIO:
                 # every file pruned: empty result with the table schema
                 return spark.read.parquet(all_files[0]).filter(F.lit(False))
             raise FileNotFoundError(f"no committed snapshots for table {table!r}")
+        # schema evolution: snapshots may have gained columns over time —
+        # merge file schemas within the scan and align by name across
+        # snapshots, nulling columns absent in older data (Iceberg
+        # add-column semantics)
         dfs = []
         if flat:
-            dfs.append(spark.read.parquet(*flat))
+            dfs.append(spark.read.option("mergeSchema", "true").parquet(*flat))
         for run_id, fs in partitioned.items():
             dfs.append(
-                spark.read.option(
-                    "basePath", self._data_dir(table, run_id)
-                ).parquet(*fs)
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", self._data_dir(table, run_id))
+                .parquet(*fs)
             )
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            out = out.unionByName(d, allowMissingColumns=True)
         return out

@@ -57,7 +57,18 @@ def main() -> None:
                     "of the per-partition lineage committed with each "
                     "snapshot.")
     ap.add_argument("--lineage-table", default="features",
-                    help="table to audit with --lineage (features|errors)")
+                    help="table targeted by --lineage/--compact/"
+                    "--expire-replaced (features|errors)")
+    ap.add_argument("--compact", action="store_true",
+                    help="maintenance mode: rewrite the table's "
+                    "committed snapshots into few files (small-files "
+                    "pass; resume-safe), print the compaction manifest "
+                    "summary, exit")
+    ap.add_argument("--expire-replaced", action="store_true",
+                    help="maintenance mode: physically delete data "
+                    "files of compacted-away snapshots (storage "
+                    "reclamation; keeps resume skipping them), print "
+                    "the reclamation summary, exit")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -71,6 +82,19 @@ def main() -> None:
     active = SparkSession.getActiveSession()
     spark = active or build_session(app_name=f"extract-features-{args.job_id}")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    if args.compact or args.expire_replaced:
+        io = TableIO(args.warehouse)
+        if args.compact:
+            m = io.compact(spark, args.lineage_table)
+            print(json.dumps({
+                "compacted": args.lineage_table, "run_id": m["run_id"],
+                "n_files": m["n_files"], "total_rows": m["total_rows"],
+                "replaces": m.get("replaces", []),
+            }))
+        if args.expire_replaced:
+            print(json.dumps(io.expire_replaced(args.lineage_table)))
+        return
 
     if args.lineage is not None:
         from pyspark.sql import functions as F

@@ -50,3 +50,30 @@ def test_job_then_lineage_audit(spark, tmp_path, capsys):
     )
     only = [json.loads(line) for line in out.strip().splitlines()]
     assert only and {r["run_id"] for r in only} == {run0}
+
+
+def test_maintenance_cli(spark, tmp_path, capsys):
+    """--compact then --expire-replaced: the operator-facing
+    maintenance pair over the same warehouse a job wrote."""
+    wh = str(tmp_path / "wh")
+    _run_cli(
+        ["--generate", "4000", "--warehouse", wh, "--job-id", "mjob",
+         "--batches", "3"],
+        capsys,
+    )
+    out = _run_cli(["--warehouse", wh, "--job-id", "mjob", "--compact"], capsys)
+    c = json.loads(out.strip().splitlines()[-1])
+    assert c["replaces"] == [f"mjob-b{b:04d}" for b in range(3)]
+    assert c["total_rows"] > 0
+
+    out = _run_cli(
+        ["--warehouse", wh, "--job-id", "mjob", "--expire-replaced"], capsys
+    )
+    r = json.loads(out.strip().splitlines()[-1])
+    assert r["expired_run_ids"] == [f"mjob-b{b:04d}" for b in range(3)]
+    assert r["bytes_reclaimed"] > 0
+
+    # post-maintenance: table intact, lineage shows only live snapshots
+    out = _run_cli(["--warehouse", wh, "--job-id", "compact", "--lineage"], capsys)
+    recs = [json.loads(line) for line in out.strip().splitlines()]
+    assert recs and all(r["run_id"].startswith("compact-") for r in recs)

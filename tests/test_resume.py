@@ -238,3 +238,50 @@ def test_range_layout_watermark_pruning(spark, transcripts_df, io):
     empty = io.read(spark, "laid", ts_range=("2099-01-01 00:00:00", "2099-12-31 00:00:00"))
     assert empty.count() == 0
     assert empty.columns == io.read(spark, "laid").columns
+
+
+def test_expire_replaced_reclaims_space_keeps_resume(
+    spark, transcripts_df, context_df, io
+):
+    """expire_replaced deletes compacted-away data files: current reads
+    unchanged, is_committed still True (resume skips), bytes actually
+    reclaimed, and a time-travel read that needs the expired history
+    raises instead of returning partial data."""
+    summary = run_resumable(
+        spark, transcripts_df, context_df, io, job_id="jobe", n_batches=3
+    )
+    expected = summary["total_rows"]
+    io.compact(spark, "features", target_files=2)
+
+    r = io.expire_replaced("features")
+    assert r["expired_run_ids"] == [f"jobe-b{b:04d}" for b in range(3)]
+    assert r["files_deleted"] > 0 and r["bytes_reclaimed"] > 0
+
+    # current read unchanged; resume still skips everything
+    assert io.read(spark, "features").count() == expected
+    again = run_resumable(
+        spark, transcripts_df, context_df, io, job_id="jobe", n_batches=3
+    )
+    assert all(x["status"] == "skipped" for x in again["batches"])
+    # expiring twice is a no-op
+    assert io.expire_replaced("features")["expired_run_ids"] == []
+    # time-travel into expired history fails loudly
+    with pytest.raises(FileNotFoundError, match="expired"):
+        io.read(spark, "features", as_of="jobe-b0000")
+
+
+def test_schema_evolution_across_snapshots(spark, transcripts_df, io):
+    """A later snapshot with an added column reads back with nulls for
+    the older snapshot's rows (Iceberg add-column semantics)."""
+    from pyspark.sql import functions as F
+
+    old = transcripts_df.limit(10)
+    new = transcripts_df.limit(25).withColumn("lang", F.lit("en"))
+    io.append(spark, old, "evo", "run-001")
+    io.append(spark, new, "evo", "run-002")
+    back = io.read(spark, "evo")
+    assert "lang" in back.columns
+    assert back.count() == 35
+    assert back.filter(F.col("lang").isNull()).count() == 10
+    # time-travel to before the column existed: old schema
+    assert "lang" not in io.read(spark, "evo", as_of="run-001").columns
