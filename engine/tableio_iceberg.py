@@ -172,3 +172,34 @@ class IcebergTableIO:
             return spark.read.table(tbl)
         snap = self._snapshot_row(spark, table, as_of)
         return spark.sql(f"SELECT * FROM {tbl} VERSION AS OF {snap['snapshot_id']}")
+
+    # -- maintenance ---------------------------------------------------------
+    # Parity with TableIO's maintenance surface, over the public Iceberg
+    # stored procedures. Like the rest of this class: written against
+    # the documented API, exercised only where the runtime jar exists
+    # (tests/test_iceberg.py gates on available()).
+
+    def compact(self, spark: SparkSession, table: str) -> dict:
+        """Small-files pass: CALL system.rewrite_data_files (Iceberg's
+        native compaction — the TableIO.compact analog; snapshot
+        history is preserved, so time-travel keeps working)."""
+        row = spark.sql(
+            f"CALL {self.catalog}.system.rewrite_data_files("
+            f"table => '{self.namespace}.{table}')"
+        ).collect()[0]
+        return {k: row[k] for k in row.asDict()}
+
+    def expire_snapshots(
+        self, spark: SparkSession, table: str, older_than_ts: str
+    ) -> dict:
+        """Storage reclamation: CALL system.expire_snapshots — drops
+        snapshot history older than the cut and deletes unreferenced
+        data files (the TableIO.expire_replaced analog; expired
+        history stops being time-travelable, current reads
+        unaffected)."""
+        row = spark.sql(
+            f"CALL {self.catalog}.system.expire_snapshots("
+            f"table => '{self.namespace}.{table}', "
+            f"older_than => TIMESTAMP '{older_than_ts}')"
+        ).collect()[0]
+        return {k: row[k] for k in row.asDict()}
