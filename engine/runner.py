@@ -38,6 +38,7 @@ def run_resumable(
     isolate_hot: bool = False,
     hot_threshold_frac: float = 0.01,
     hot_sample_frac: float = 0.01,
+    max_error_ratio: float | None = None,
     **pipeline_kwargs,
 ) -> dict:
     """Run the feature pipeline in `n_batches` resumable batches.
@@ -54,6 +55,16 @@ def run_resumable(
     it gets its own commit + lineage and the hash batches stay uniform.
     The hot set is bounded by 1/hot_threshold_frac keys, so the
     isin-filters broadcast trivially.
+
+    `max_error_ratio`: job-level data-quality circuit breaker. Before
+    a batch commits ANYTHING, if quarantined / input-rows exceeds the
+    ratio the job raises — both snapshots stay uncommitted, so a
+    re-run (after fixing the upstream feed) fully re-processes the
+    batch with fresh counts. A sudden flood of malformed rows (schema
+    drift, upstream corruption) then stops the job at the first bad
+    batch instead of silently quarantining terabytes. Costs two plain
+    scan-counts per batch (quarantine split, not the feature
+    pipeline), only when the gate is on.
     """
     # Hoist tool-vocab discovery to ONCE per job: without this, every
     # batch would pay its own one-column discovery scan (n_batches
@@ -105,6 +116,20 @@ def run_resumable(
         # commits then re-runs the batch (errors append is an idempotent
         # no-op on its committed run_id) instead of skipping it and
         # silently dropping the batch's error rows.
+        if max_error_ratio is not None:
+            # Gate BEFORE any commit of this batch (two cheap counts —
+            # the quarantine split, not the feature pipeline): a
+            # tripped gate must leave NOTHING committed, because a
+            # committed errors snapshot would be returned as-is by the
+            # idempotent append on the post-fix re-run (stale counts).
+            n_err, n_in = errors.count(), t_b.count()
+            if n_in > 0 and n_err / n_in > max_error_ratio:
+                raise RuntimeError(
+                    f"quality gate: batch {b!r} quarantined {n_err}/{n_in} "
+                    f"input rows ({n_err / n_in:.1%}) > max_error_ratio="
+                    f"{max_error_ratio:.1%}; nothing committed — fix the "
+                    f"feed and re-run {job_id!r} to re-process this batch"
+                )
         io.append(spark, errors, "errors", run_id, ts_col="ts")
         m = io.append(
             spark, features, "features", run_id, ts_col="ts",

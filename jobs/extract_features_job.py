@@ -43,6 +43,10 @@ def main() -> None:
     ap.add_argument("--vocab", default=None,
                     help="comma-separated tool vocabulary (catalog stat); "
                     "omit to discover it with one narrow column scan")
+    ap.add_argument("--max-error-ratio", type=float, default=None,
+                    help="data-quality circuit breaker: abort (batch "
+                    "uncommitted, job resumable) when a batch "
+                    "quarantines more than this fraction of its input")
     ap.add_argument("--isolate-hot", action="store_true",
                     help="route sampled zipf-hot conversations into their "
                     "own batch (uniform hash-batch runtimes; per-hot-key "
@@ -135,7 +139,8 @@ def main() -> None:
     summary = run_resumable(
         spark, transcripts, context, io,
         job_id=args.job_id, n_batches=args.batches,
-        isolate_hot=args.isolate_hot, **kwargs,
+        isolate_hot=args.isolate_hot,
+        max_error_ratio=args.max_error_ratio, **kwargs,
     )
     json.dump(summary, sys.stdout)
     print()

@@ -285,3 +285,42 @@ def test_schema_evolution_across_snapshots(spark, transcripts_df, io):
     assert back.filter(F.col("lang").isNull()).count() == 10
     # time-travel to before the column existed: old schema
     assert "lang" not in io.read(spark, "evo", as_of="run-001").columns
+
+
+def test_quality_gate_circuit_breaker(spark, transcripts_df, context_df, io):
+    """max_error_ratio: a batch quarantining too much of its input
+    aborts BEFORE its features manifest commits, so the batch stays
+    re-runnable; a clean feed then completes the job, re-processing
+    only the tripped batch."""
+    from pyspark.sql import functions as F
+
+    # poison one hash batch: corrupt the role of every row in batch 0
+    from engine.runner import batch_filter
+
+    poisoned = transcripts_df.withColumn(
+        "role",
+        F.when(batch_filter("conv_id", 2, 0), F.lit("bad_role")).otherwise(
+            F.col("role")
+        ),
+    )
+    with pytest.raises(RuntimeError, match="quality gate"):
+        run_resumable(
+            spark, poisoned, context_df, io, job_id="jobq", n_batches=2,
+            max_error_ratio=0.05,
+        )
+    # the tripped batch committed NOTHING (a committed errors snapshot
+    # would go stale once the feed is fixed — idempotent appends would
+    # return the poisoned counts forever)
+    assert not io.is_committed("features", "jobq-b0000")
+    assert not io.is_committed("errors", "jobq-b0000")
+
+    # clean feed: the job completes; only batch 0 re-processes
+    summary = run_resumable(
+        spark, transcripts_df, context_df, io, job_id="jobq", n_batches=2,
+        max_error_ratio=0.05,
+    )
+    statuses = {x["batch"]: x["status"] for x in summary["batches"]}
+    assert statuses == {0: "committed", 1: "committed"} or statuses == {
+        0: "committed", 1: "skipped"
+    }
+    assert io.read(spark, "features").count() == transcripts_df.count()
