@@ -43,6 +43,8 @@ class TranscriptDataSourceReader(DataSourceReader):
         self.max_turns = int(options.get("max_turns", 400))
 
     def partitions(self):
+        if self.n_convs <= 0:
+            return [ConvRangePartition(0, 0)]  # the API needs >= 1
         step = max(1, -(-self.n_convs // self.n_parts))  # ceil div
         return [
             ConvRangePartition(lo, min(lo + step, self.n_convs))
@@ -64,6 +66,8 @@ def _gen_batches(lo: int, hi: int, seed: int, max_turns: int):
     from engine.generate import generate_transcripts_conv_range
 
     pdf = generate_transcripts_conv_range(lo, hi, seed=seed, max_turns=max_turns)
+    if pdf.empty:
+        return  # empty range: no batches (dtype-less frame can't cast)
     target = pa.schema(
         [
             ("conv_id", pa.string()),

@@ -94,3 +94,76 @@ def test_reduction_profiles(spark, transcripts_df):
     a = sorted(map(tuple, f_perf.select(cols).collect()))
     b = sorted(map(tuple, f_ref.select(cols).collect()))
     assert a == b and len(a) > 0
+
+
+def test_round3_operators_on_empty_input(spark):
+    """Empty inputs: no crashes, structurally correct empty results."""
+    from engine.operators.rangejoin import interval_join
+    from engine.queries import funnel_session_steps, funnel_steps
+
+    empty_ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = funnel_steps(empty_ev).first()
+    assert r["n_sessions"] == 0 and r["n_view"] == 0
+    assert r["full_funnel_rate"] is None  # avg over zero rows
+    assert funnel_session_steps(empty_ev).count() == 0
+
+    facts = spark.createDataFrame([], "user_id string, event_id long, ev_s double")
+    ivs = spark.createDataFrame(
+        [("u1", "A", 0.0, 10.0)],
+        "user_id string, iv_id string, lo_s double, hi_s double",
+    )
+    assert interval_join(facts, ivs, "ev_s", "lo_s", "hi_s", keys=["user_id"]).count() == 0
+    empty_ivs = spark.createDataFrame(
+        [], "user_id string, iv_id string, lo_s double, hi_s double"
+    )
+    one_fact = spark.createDataFrame(
+        [("u1", 1, 5.0)], "user_id string, event_id long, ev_s double"
+    )
+    assert interval_join(one_fact, empty_ivs, "ev_s", "lo_s", "hi_s").count() == 0
+    left = interval_join(
+        one_fact, empty_ivs, "ev_s", "lo_s", "hi_s", how="left"
+    ).collect()
+    assert len(left) == 1 and left[0]["iv_id"] is None
+
+
+def test_empty_graph_connected_components(spark):
+    from engine.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    vertices = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    no_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    for cc in (connected_components, connected_components_star):
+        got = {r["doc_id"]: r["cluster_id"] for r in cc(vertices, no_pairs).collect()}
+        assert got == {1: 1, 2: 2}, cc.__name__
+
+
+def test_datasource_zero_convs(spark):
+    from engine.sources.transcript_source import TranscriptDataSource
+
+    spark.dataSource.register(TranscriptDataSource)
+    df = (
+        spark.read.format("transcripts")
+        .option("n_convs", 0).option("partitions", 2).load()
+    )
+    assert df.count() == 0 and len(df.columns) == 6
+
+
+def test_train_centroids_guards(spark):
+    import pytest
+
+    from engine.operators.similarity import train_centroids
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_centroids(empty, k=2)
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="corpus size"):
+        train_centroids(tiny, k=5)
