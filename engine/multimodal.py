@@ -91,8 +91,13 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     The payload bytes — including the PNG IHDR CRC32 — are built from
     codegen column expressions (concat/unhex/lpad/crc32): no Python in
     the synthesis path. (No external data; fully reproducible.)"""
-    w = (F.length("text") % 640 + 1).cast("bigint")
-    h = (F.length("text") % 480 + 1).cast("bigint")
+    # BYTE length (octet_length), not character length: the DuckDB
+    # oracle's strlen counts bytes, and char-length would silently
+    # diverge on any non-ASCII text (latent engine/oracle mismatch
+    # flagged by the round-3 review; masked so far only because the
+    # testdata documents tables happen to be ASCII)
+    w = (F.octet_length("text") % 640 + 1).cast("bigint")
+    h = (F.octet_length("text") % 480 + 1).cast("bigint")
     ihdr_data = F.concat(F.lit(b"IHDR"), _be(w, 4), _be(h, 4), F.lit(_PNG_IHDR_TAIL))
     png = F.concat(
         F.lit(_PNG_SIG),

@@ -48,31 +48,57 @@ def interval_join(
     `ts_col` on facts and `lo_col`/`hi_col` on intervals are epoch
     SECONDS (double or long) — cast timestamps with
     `ts.cast('double')` upstream. `how='inner'` or `'left'` (facts
-    with no covering interval keep NULL interval columns). Interval
-    columns are suffixed only on collision."""
+    with no covering interval keep NULL interval columns). Non-key
+    column names must be disjoint between the two frames (checked);
+    inverted intervals (lo > hi) match nothing — exactly the theta
+    join's behavior — and are dropped before the explode (they must
+    not reach `sequence`, which would happily build a huge DESCENDING
+    bucket array for them). The long-interval guard is an IN-PLAN
+    `assert_true`, not a driver action: it costs nothing extra and
+    never re-executes the intervals lineage just to check."""
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
     keys = keys or []
+    clash = (set(facts.columns) & set(intervals.columns)) - set(keys)
+    if clash:
+        raise ValueError(
+            f"facts and intervals share non-key columns {sorted(clash)}: "
+            f"rename one side before joining"
+        )
     b = F.lit(float(bucket_s))
 
     n_buckets = (
         F.floor(F.col(hi_col) / b) - F.floor(F.col(lo_col) / b) + 1
     )
-    iv = intervals.withColumn("_nb", n_buckets)
-    guard = iv.filter(F.col("_nb") > max_buckets_per_row).limit(1).count()
-    if guard:
-        raise ValueError(
-            f"interval spans more than {max_buckets_per_row} buckets at "
-            f"bucket_s={bucket_s}: widen bucket_s or split long intervals"
-        )
-    iv = iv.withColumn(
+    # the guard is fused into the sequence's upper bound (assert_true
+    # yields NULL on success → coalesce adds 0), so column pruning can
+    # never optimize it away and it costs no separate action
+    guard = F.coalesce(
+        F.assert_true(
+            n_buckets <= F.lit(max_buckets_per_row),
+            F.concat(
+                F.lit(
+                    f"interval spans more than {max_buckets_per_row} "
+                    f"buckets at bucket_s={bucket_s}: widen bucket_s or "
+                    f"split long intervals; offending [{lo_col}, {hi_col}]"
+                    f" = ["
+                ),
+                F.col(lo_col).cast("string"),
+                F.lit(", "),
+                F.col(hi_col).cast("string"),
+                F.lit("]"),
+            ),
+        ).cast("bigint"),
+        F.lit(0),
+    )
+    iv = intervals.filter(F.col(lo_col) <= F.col(hi_col)).withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(lo_col) / b), F.floor(F.col(hi_col) / b)
+                F.floor(F.col(lo_col) / b), F.floor(F.col(hi_col) / b) + guard
             )
         ),
-    ).drop("_nb")
+    )
 
     f = facts.withColumn("_bucket", F.floor(F.col(ts_col) / b))
     if how == "inner":

@@ -130,6 +130,26 @@ def band_sign_codes(arr: Column, bands: int = 4, bits_per_band: int = 16) -> Col
     return F.array(*out)
 
 
+def _cell_scores(vec: Column, id_alias: str) -> Column:
+    """Array of (squared-L2, cell id) structs of `vec` (double array)
+    against the broadcast one-row centroid-array column `_cents` — THE
+    assignment expression, shared by ivf_topk (corpus + probe sides)
+    and train_centroids so quantizer semantics can never diverge.
+    Struct field order (_d2, id) makes array_min/array_sort the
+    distance argmin with smaller-cell-id tie-break."""
+    return F.transform(
+        "_cents",
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c["cvec"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_d2"),
+            c["cid"].alias(id_alias),
+        ),
+    )
+
+
 def cosine_near_dups_banded(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -239,26 +259,15 @@ def ivf_topk(
             ).alias("_cents")
         )
     )
-
-    def scored(c) -> Column:
-        d2 = F.aggregate(
-            F.zip_with(
-                _to_double(F.col(vec_col)), c["cvec"], lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.struct(d2.alias("_d2"), c["cid"].alias(centroid_id))
-
     c_cells = (
         corpus.select(id_col, vec_col)
         .crossJoin(cent_arr)
         .select(
             F.col(id_col),
             F.col(vec_col),
-            F.array_min(F.transform("_cents", scored))[centroid_id].alias(
+            F.array_min(_cell_scores(_to_double(F.col(vec_col)), centroid_id))[
                 centroid_id
-            ),
+            ].alias(centroid_id),
         )
     )
     p_cells = F.broadcast(
@@ -270,21 +279,7 @@ def ivf_topk(
             F.explode(
                 F.slice(
                     F.array_sort(
-                        F.transform(
-                            "_cents",
-                            lambda c: F.struct(
-                                F.aggregate(
-                                    F.zip_with(
-                                        _to_double(F.col("_pv")),
-                                        c["cvec"],
-                                        lambda x, y: (x - y) * (x - y),
-                                    ),
-                                    F.lit(0.0),
-                                    lambda acc, x: acc + x,
-                                ).alias("_d2"),
-                                c["cid"].alias(centroid_id),
-                            ),
-                        )
+                        _cell_scores(_to_double(F.col("_pv")), centroid_id)
                     ),
                     1,
                     nprobe,
@@ -367,23 +362,12 @@ def train_centroids(
                 ).alias("_cents")
             )
         )
-        scored = F.transform(
-            "_cents",
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_v"), c["cvec"], lambda x, y: (x - y) * (x - y)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("_d2"),
-                c["cid"].alias("cell_id"),
-            ),
-        )
         assigned = vecs.crossJoin(cent_arr).select(
             F.col(id_col),
             F.col("_v"),
-            F.array_min(scored)["cell_id"].alias("cell_id"),
+            F.array_min(_cell_scores(F.col("_v"), "cell_id"))["cell_id"].alias(
+                "cell_id"
+            ),
         )
         stats = (
             assigned.groupBy("cell_id")

@@ -24,8 +24,8 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 
@@ -82,43 +82,58 @@ def _gen_batches(lo: int, hi: int, seed: int, max_turns: int):
     yield from table.to_batches(max_chunksize=10_000)
 
 
-class TranscriptStreamReader(DataSourceStreamReader):
+class TranscriptStreamReader(SimpleDataSourceStreamReader):
     """Streaming half of the same source: offsets are conversation
-    counters; each micro-batch emits the next `rate` conversations
-    (executor-side generation, identical rows to the batch reader for
-    the same (seed, conv) — dual-mode parity is tested). Offsets are
-    plain dicts, so checkpoint recovery replays exact conv ranges
-    (readBetweenOffsets semantics come free: read(partitions(start,
-    end)) is deterministic)."""
+    counters; each micro-batch emits the next `convs_per_batch`
+    conversations, generating identical rows to the batch reader for
+    the same (seed, conv) — dual-mode parity is tested.
+
+    This is the SIMPLE stream-reader variant deliberately: the
+    partition-planning variant's `latestOffset(self)` gets no start
+    offset, so a restarted query (fresh reader instance, counter back
+    at 0) would plan batches BEHIND the checkpointed offset and
+    re-emit already-delivered conversations (round-3 review finding).
+    `read(start)` receives the recovered offset on every call, making
+    restart resume exactly where the checkpoint says — at the
+    documented cost that micro-batch rows are produced driver-side
+    (fine for a rate-limited synthetic feed; the batch reader remains
+    the executor-parallel path). `readBetweenOffsets` replays any
+    committed range bit-identically because generation is pure in
+    (seed, conv)."""
 
     def __init__(self, options: dict):
         self.n_convs = int(options.get("n_convs", 300))
         self.seed = int(options.get("seed", 42))
         self.max_turns = int(options.get("max_turns", 400))
         self.rate = int(options.get("convs_per_batch", 50))
-        self.n_parts = int(options.get("partitions", 4))
-        self._latest = 0
 
     def initialOffset(self) -> dict:
         return {"conv": 0}
 
-    def latestOffset(self) -> dict:
-        self._latest = min(self._latest + self.rate, self.n_convs)
-        return {"conv": self._latest}
+    def _rows(self, lo: int, hi: int):
+        from engine.generate import generate_transcripts_conv_range
 
-    def partitions(self, start: dict, end: dict):
-        lo, hi = int(start["conv"]), int(end["conv"])
-        if hi <= lo:
-            return [ConvRangePartition(lo, lo)]
-        step = max(1, -(-(hi - lo) // self.n_parts))
-        return [
-            ConvRangePartition(p, min(p + step, hi)) for p in range(lo, hi, step)
-        ]
-
-    def read(self, partition: ConvRangePartition):
-        yield from _gen_batches(
-            partition.lo, partition.hi, self.seed, self.max_turns
+        pdf = generate_transcripts_conv_range(
+            lo, hi, seed=self.seed, max_turns=self.max_turns
         )
+        if pdf.empty:  # exhausted source: dtype-less frame has no .dt
+            return iter([])
+        # tuple-path TimestampType conversion needs tz-AWARE values
+        # (naive ones crash tz_convert in the runtime); UTC matches the
+        # engine's session timezone, so values equal the batch reader's
+        pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+        # iterator over a MATERIALIZED list: the runtime calls next()
+        # on it (plain lists rejected) but also pickles the prefetched
+        # batch (raw generators rejected); a list_iterator satisfies both
+        return iter([tuple(row) for row in pdf.itertuples(index=False)])
+
+    def read(self, start: dict):
+        lo = int(start["conv"])
+        hi = min(lo + self.rate, self.n_convs)
+        return self._rows(lo, hi), {"conv": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["conv"]), int(end["conv"]))
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up — generation is pure
@@ -138,5 +153,5 @@ class TranscriptDataSource(DataSource):
     def reader(self, schema) -> TranscriptDataSourceReader:
         return TranscriptDataSourceReader(self.options)
 
-    def streamReader(self, schema) -> TranscriptStreamReader:
+    def simpleStreamReader(self, schema) -> TranscriptStreamReader:
         return TranscriptStreamReader(self.options)

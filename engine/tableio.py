@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 class TableIO:
     def __init__(self, root: str):
         self.root = root
+        self._seq_cache: dict[str, int] = {}
 
     # -- paths ------------------------------------------------------------
     def _data_dir(self, table: str, run_id: str) -> str:
@@ -60,7 +61,9 @@ class TableIO:
     def is_committed(self, table: str, run_id: str) -> bool:
         return os.path.exists(self._manifest_path(table, run_id))
 
-    def _commit_order(self, table: str) -> list[tuple[tuple, str]]:
+    def _commit_order(
+        self, table: str, manifests: dict[str, dict] | None = None
+    ) -> list[tuple[tuple, str]]:
         """Committed manifests in COMMIT order as [(key, run_id)].
 
         Ordering key is the monotonic `commit_seq` stamped at append
@@ -68,23 +71,50 @@ class TableIO:
         lexicographic order, which is wrong the moment run_ids from
         different naming schemes coexist (e.g. a 'compact-…' snapshot
         sorts before 'jobc-…' run_ids even though it committed after
-        them). Legacy manifests without commit_seq order by their
-        committed_at wall clock (epoch seconds ≫ any seq, so they sort
-        after stamped ones only in never-written-here mixed tables)."""
+        them). Legacy manifests without commit_seq sort BEFORE every
+        stamped one (phase 0 vs 1 — they were necessarily committed
+        before stamping existed; epoch-seconds keys would sort them
+        AFTER, silently breaking as_of on upgraded warehouses), in
+        committed_at order among themselves."""
         out = []
-        for run_id in self.committed_runs(table):
-            m = self.read_manifest(table, run_id)
-            key = (m.get("commit_seq", m.get("committed_at_epoch_s", 0.0)), run_id)
+        for run_id, m in (
+            manifests if manifests is not None else self._load_manifests(table)
+        ).items():
+            key = (
+                (1, m["commit_seq"], run_id)
+                if "commit_seq" in m
+                else (0, m.get("committed_at_epoch_s", 0.0), run_id)
+            )
             out.append((key, run_id))
         out.sort()
         return out
 
+    def _load_manifests(self, table: str) -> dict[str, dict]:
+        """All committed manifests in ONE pass (run_id → manifest).
+        Callers that need ordering + replaces + files (read()) parse
+        each manifest once instead of three times; the per-epoch
+        streaming sink makes this matter (commit latency would
+        otherwise grow with stream age)."""
+        return {
+            run_id: self.read_manifest(table, run_id)
+            for run_id in self.committed_runs(table)
+        }
+
     def _next_seq(self, table: str) -> int:
-        seqs = [
-            self.read_manifest(table, r).get("commit_seq", 0)
-            for r in self.committed_runs(table)
-        ]
-        return (max(seqs) if seqs else 0) + 1
+        # max-seq cache keeps a long-running per-epoch streaming sink's
+        # commits O(1) in manifest I/O (scan once, then bump locally;
+        # correctness of the scan fallback is unaffected for other
+        # writers because this TableIO instance owns its run_ids)
+        cached = self._seq_cache.get(table)
+        if cached is None:
+            seqs = [
+                m.get("commit_seq", 0)
+                for m in self._load_manifests(table).values()
+            ]
+            cached = max(seqs) if seqs else 0
+        nxt = cached + 1
+        self._seq_cache[table] = nxt
+        return nxt
 
     def append(
         self,
@@ -253,28 +283,44 @@ class TableIO:
 
         replaced = self._replaced(table)
         expired, n_deleted, bytes_reclaimed = [], 0, 0
-        for run_id in sorted(replaced):
-            m = self.read_manifest(table, run_id)
-            if m.get("expired"):
-                continue
-            for e in m["files"]:
-                local = e["file"].removeprefix("file://").removeprefix("file:")
+
+        def _delete(paths: list[str]) -> None:
+            nonlocal n_deleted, bytes_reclaimed
+            for p in paths:
+                local = p.removeprefix("file://").removeprefix("file:")
                 if os.path.exists(local):
                     n_deleted += 1
                     bytes_reclaimed += os.path.getsize(local)
                     os.remove(local)
-            shutil.rmtree(self._data_dir(table, run_id), ignore_errors=True)
+
+        for run_id in sorted(replaced):
+            m = self.read_manifest(table, run_id)
+            if m.get("expired"):
+                # idempotent re-run: sweep orphans a crash between
+                # tombstone and delete may have left behind
+                _delete(m.get("expired_files", []))
+                shutil.rmtree(self._data_dir(table, run_id), ignore_errors=True)
+                continue
+            # Tombstone FIRST, delete after: a crash in between leaves
+            # an expired manifest + orphan files (swept by the next
+            # run) — the reverse order would leave a live manifest
+            # pointing at deleted files, turning the promised clear
+            # 'expired' error into a raw scan failure.
+            paths = [e["file"] for e in m["files"]]
             tomb = {
                 **m,
                 "files": [],
                 "n_files": 0,
                 "expired": True,
+                "expired_files": paths,
                 "expired_at_epoch_s": time.time(),
             }
             tmp = self._manifest_path(table, run_id) + f".tmp.{uuid.uuid4().hex}"
             with open(tmp, "w") as fh:
                 json.dump(tomb, fh, indent=1)
             os.replace(tmp, self._manifest_path(table, run_id))
+            _delete(paths)
+            shutil.rmtree(self._data_dir(table, run_id), ignore_errors=True)
             expired.append(run_id)
         return {
             "expired_run_ids": expired,
@@ -358,7 +404,8 @@ class TableIO:
         skipped — rows outside the range inside a kept file still need
         the usual ts filter (pair with `range_layout=True` appends,
         which make file spans disjoint and the residue small)."""
-        order = self._commit_order(table)
+        manifests = self._load_manifests(table)
+        order = self._commit_order(table, manifests)
         if as_of is not None:
             cut = next((key for key, r in order if r == as_of), None)
             if cut is None:
@@ -370,7 +417,7 @@ class TableIO:
         included = [r for _, r in order]
         replaced: set[str] = set()
         for run_id in included:
-            replaced.update(self.read_manifest(table, run_id).get("replaces") or [])
+            replaced.update(manifests[run_id].get("replaces") or [])
         def keep(entry: dict) -> bool:
             if ts_range is None:
                 return True
@@ -386,7 +433,7 @@ class TableIO:
         for run_id in included:
             if run_id in replaced:
                 continue
-            m = self.read_manifest(table, run_id)
+            m = manifests[run_id]
             if m.get("expired"):
                 raise FileNotFoundError(
                     f"snapshot {run_id!r} of table {table!r} was expired by "

@@ -99,3 +99,49 @@ def test_stream_reader_matches_batch(registered, tmp_path):
         time.sleep(1)
     q.stop()
     assert sorted(map(tuple, got)) == expect
+
+
+def test_stream_reader_restart_no_duplicates(registered, tmp_path):
+    """The round-3 review scenario: stop a streaming query mid-source,
+    restart from its checkpoint, run to exhaustion — no conversation
+    may be emitted twice and the union must equal the batch table.
+    (The partition-planning stream reader variant regressed its offset
+    counter on restart; the simple reader's read(start) cannot.)"""
+    import time
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(min_rows, max_wait=120):
+        sdf = (
+            registered.readStream.format("transcripts")
+            .option("n_convs", 24)
+            .option("seed", 11)
+            .option("convs_per_batch", 6)
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        deadline = time.time() + max_wait
+        while time.time() < deadline:
+            try:
+                n = registered.read.parquet(out_dir).count()
+            except Exception:
+                n = 0
+            if n >= min_rows:
+                break
+            time.sleep(1)
+        q.stop()
+        q.awaitTermination(60)
+        return registered.read.parquet(out_dir)
+
+    expect = sorted(map(tuple, _load(registered, 24, 4, seed=11).collect()))
+    # stop after SOME but not all rows, then restart to completion
+    run(min_rows=1)
+    got = sorted(map(tuple, run(min_rows=len(expect)).collect()))
+    assert got == expect  # exactly once: no duplicates, nothing missing

@@ -19,7 +19,7 @@ from engine.multimodal import (
 def test_media_meta_roundtrip(spark):
     docs = spark.createDataFrame(
         [(6, "hello world"), (1, "xyz"), (2, "longer text value here"),
-         (9, "jpeg carrier row")],
+         (9, "jpeg carrier row"), (12, "café…")],
         "doc_id long, text string",
     )
     meta = extract_media_meta(synthesize_media(docs))
@@ -39,6 +39,10 @@ def test_media_meta_roundtrip(spark):
     assert rows[9]["height"] == len("jpeg carrier row") % 480 + 1
     # audio gets frames only
     assert rows[1]["width"] is None and rows[1]["n_frames"] == 3 * 4
+    # non-ASCII text: dimensions derive from BYTE length (oracle's
+    # strlen), not character length
+    assert rows[12]["width"] == len("café…".encode()) % 640 + 1
+    assert rows[12]["width"] != len("café…") % 640 + 1
 
 
 def test_synthesized_png_is_structurally_valid(spark):

@@ -70,7 +70,9 @@ def test_no_keys_mode(spark, frames):
     got = {
         (r["event_id"], r["iv_id"])
         for r in interval_join(
-            facts, intervals.filter("iv_id = 'C'"),
+            # no-keys mode: the interval side must not carry the (now
+            # non-key) user_id column — shared non-key names are rejected
+            facts, intervals.filter("iv_id = 'C'").drop("user_id"),
             "ev_s", "lo_s", "hi_s", bucket_s=3600.0,
         ).collect()
     }
@@ -79,14 +81,45 @@ def test_no_keys_mode(spark, frames):
 
 
 def test_long_interval_guard(spark, frames):
+    """The guard is IN-PLAN (no driver pre-action that would re-execute
+    the intervals lineage): it raises when the join executes."""
     facts, _ = frames
     huge = spark.createDataFrame(
         [("u1", "Z", 0.0, 1e9)], "user_id string, iv_id string, lo_s double, hi_s double"
     )
-    with pytest.raises(ValueError, match="widen bucket_s"):
+    df = interval_join(
+        facts, huge, "ev_s", "lo_s", "hi_s",
+        keys=["user_id"], bucket_s=1.0, max_buckets_per_row=100,
+    )
+    with pytest.raises(Exception, match="widen bucket_s"):
+        df.count()
+
+
+def test_inverted_interval_matches_nothing(spark, frames):
+    """lo > hi matches nothing (theta-join semantics) and must NOT
+    reach sequence(), which would build a huge descending bucket array
+    and bypass the span guard (review finding)."""
+    facts, _ = frames
+    bad = spark.createDataFrame(
+        [("u1", "INV", 1e9, 0.0), ("u1", "OK", 50.0, 200.0)],
+        "user_id string, iv_id string, lo_s double, hi_s double",
+    )
+    got = {
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(
+            facts, bad, "ev_s", "lo_s", "hi_s",
+            keys=["user_id"], bucket_s=1.0, max_buckets_per_row=1000,
+        ).collect()
+    }
+    assert got == {(1, "OK"), (5, "OK")}
+
+
+def test_colliding_column_names_rejected(spark, frames):
+    facts, intervals = frames
+    with pytest.raises(ValueError, match="share non-key columns"):
         interval_join(
-            facts, huge, "ev_s", "lo_s", "hi_s",
-            keys=["user_id"], bucket_s=1.0, max_buckets_per_row=100,
+            facts.withColumn("iv_id", facts["event_id"]),
+            intervals, "ev_s", "lo_s", "hi_s", keys=["user_id"],
         )
 
 
