@@ -118,7 +118,7 @@ def test_round3_operators_on_empty_input(spark):
     )
     assert interval_join(facts, ivs, "ev_s", "lo_s", "hi_s", keys=["user_id"]).count() == 0
     empty_ivs = spark.createDataFrame(
-        [], "user_id string, iv_id string, lo_s double, hi_s double"
+        [], "iv_id string, lo_s double, hi_s double"
     )
     one_fact = spark.createDataFrame(
         [("u1", 1, 5.0)], "user_id string, event_id long, ev_s double"
