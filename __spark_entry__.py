@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_users": Q.q_set_ops_users,
         "dedup_sessions": Q.q_dedup_sessions,
         "semi_anti_customers": Q.q_semi_anti_customers,
+        "shipping_priority": Q.q_shipping_priority,
+        "region_revenue": Q.q_region_revenue,
         "value_percentiles": Q.q_value_percentiles,
         "embed_centroid": Q.q_embed_centroid,
         "topk_event_types": Q.q_topk_event_types,
@@ -105,6 +107,8 @@ def oracle_sql() -> dict[str, str]:
         "set_ops_users": Q.SQL_SET_OPS_USERS,
         "dedup_sessions": Q.SQL_DEDUP_SESSIONS,
         "semi_anti_customers": Q.SQL_SEMI_ANTI_CUSTOMERS,
+        "shipping_priority": Q.SQL_SHIPPING_PRIORITY,
+        "region_revenue": Q.SQL_REGION_REVENUE,
         "value_percentiles": Q.SQL_VALUE_PERCENTILES,
         "embed_centroid": Q.SQL_EMBED_CENTROID,
         "topk_event_types": Q.SQL_TOPK_EVENT_TYPES,
