@@ -223,6 +223,7 @@ class TableIO:
         table: str,
         target_files: int = 8,
         ts_col: str | None = "ts",
+        range_layout: bool = False,
     ) -> dict:
         """Rewrite ALL currently-committed snapshots into one compacted
         snapshot of `target_files` files (the small-files maintenance
@@ -236,7 +237,14 @@ class TableIO:
         rename commit: a crash mid-compaction leaves invisible staging
         data and the old snapshots intact. `is_committed` keeps
         answering True for replaced run_ids, so resumable jobs never
-        re-run batches that were compacted away."""
+        re-run batches that were compacted away.
+
+        `range_layout=True`: the compacted snapshot is range-clustered
+        and sorted on `ts_col` (see `append`), turning compaction into
+        the time-clustering pass as well — afterwards `read(ts_range)`
+        prunes the WHOLE table's history at file granularity, which
+        per-batch appends (each spanning the full time range of its
+        batch) cannot offer."""
         replaced = self._replaced(table)
         compactions = [
             r for r in self.committed_runs(table)
@@ -255,10 +263,17 @@ class TableIO:
                 )
                 return self.read_manifest(table, latest)
             raise FileNotFoundError(f"nothing to compact for table {table!r}")
-        df = self.read(spark, table).coalesce(target_files)
+        df = self.read(spark, table)
+        if not range_layout:
+            df = df.coalesce(target_files)
         run_id = f"compact-{max(runs)}-{len(runs)}"
         if self.is_committed(table, run_id):
             return self.read_manifest(table, run_id)
+        if range_layout:
+            return self.append(
+                spark, df, table, run_id, ts_col=ts_col,
+                extra_meta={"replaces": runs}, range_layout=target_files,
+            )
         return self.append(
             spark, df, table, run_id, ts_col=ts_col,
             extra_meta={"replaces": runs},

@@ -324,3 +324,24 @@ def test_quality_gate_circuit_breaker(spark, transcripts_df, context_df, io):
         0: "committed", 1: "skipped"
     }
     assert io.read(spark, "features").count() == transcripts_df.count()
+
+
+def test_range_layout_compaction_enables_table_pruning(spark, transcripts_df, io):
+    """compact(range_layout=True) time-clusters the WHOLE table: the
+    compacted files carry disjoint ts spans, so ts_range reads prune
+    across all history — per-batch appends (each spanning the full
+    range) cannot offer this."""
+    # three appends, each covering the whole time range
+    for i in range(3):
+        io.append(
+            spark, transcripts_df.limit(400 + i), "rl", f"run-{i:03d}",
+            ts_col="ts",
+        )
+    m = io.compact(spark, "rl", target_files=6, range_layout=True)
+    spans = sorted((f["watermark_lo"], f["watermark_hi"]) for f in m["files"])
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+    lo, hi = spans[0]
+    pruned = io.read(spark, "rl", ts_range=(lo, hi))
+    assert len(pruned.inputFiles()) < m["n_files"]
+    assert pruned.count() > 0
