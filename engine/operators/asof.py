@@ -28,6 +28,13 @@ Semantics (both strategies, bit-identical):
   values — possibly null — never an older row's, i.e. merge_asof
   semantics, not per-column ffill). No match → nulls. Leakage-free by
   construction: a future context row can never be selected.
+
+Null timestamps (same in both strategies): a context row with NULL
+ctx_ts is never admissible (NULL is not <= anything) and is dropped
+up front — without the filter, the jvm formulation's null-first sort
+would silently serve its payload to every early probe; a probe row
+with NULL probe_ts emits null payloads (no admissible event) instead
+of crashing the kernel's merge_asof.
 """
 
 from __future__ import annotations
@@ -85,6 +92,8 @@ def _asof_union_tag(
     strict: bool,
     prefix: str,
 ) -> DataFrame:
+    # null event times are never admissible; see module docstring
+    context = context.filter(F.col(ctx_ts).isNotNull())
     # Tag: within equal ts, context sorts BEFORE probe for <= semantics
     # (so an exactly-coincident event is visible), AFTER it for strict <.
     ctx_side, probe_side = (0, 1) if not strict else (1, 0)
@@ -176,6 +185,8 @@ def _asof_kernel(
     spark = probe.sparkSession
     if buckets is None:
         buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # null event times are never admissible; see module docstring
+    context = context.filter(F.col(ctx_ts).isNotNull())
     out_names = [prefix + c for c in payload]
     out_schema = T.StructType(
         list(probe.schema.fields)
@@ -213,6 +224,16 @@ def _asof_kernel(
         keys = ["_ab"]
 
     def kernel(p_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        # null probe timestamps: merge_asof rejects null merge keys
+        # (and NaT sorts last, breaking its sorted-left requirement) —
+        # route them around the merge with null payloads, matching the
+        # jvm strategy's "no admissible event" result for the same rows
+        null_mask = p_pdf[probe_ts].isna()
+        p_null = p_pdf[null_mask].copy()
+        for name in out_names:
+            p_null[name] = None
+        p_null = p_null[probe_cols + out_names]
+        p_pdf = p_pdf[~null_mask]
         # merge_asof requires a global sort on the time key; the
         # secondary idx keys make the order (and equal-ts tie-break)
         # deterministic: sorted by (ctx_ts, ctx_idx), the LAST
@@ -221,21 +242,24 @@ def _asof_kernel(
         if len(c_pdf) == 0:
             for name in out_names:
                 p_pdf[name] = pd.Series(dtype="object")
-            return p_pdf[probe_cols + out_names]
-        # sort so the last row among equal ctx_ts has max ctx_idx —
-        # merge_asof backward then selects exactly that row per entity
-        c_pdf = c_pdf.rename(columns=rename)
-        c_pdf = c_pdf.sort_values([ctx_ts, idx_priv], kind="mergesort")
-        merged = pd.merge_asof(
-            p_pdf,
-            c_pdf[[on, ctx_ts] + out_names],
-            left_on=probe_ts,
-            right_on=ctx_ts,
-            by=on,
-            direction="backward",
-            allow_exact_matches=not strict,
-        )
-        return merged[probe_cols + out_names]
+            merged = p_pdf[probe_cols + out_names]
+        else:
+            # sort so the last row among equal ctx_ts has max ctx_idx —
+            # merge_asof backward then selects exactly that row per entity
+            c_pdf = c_pdf.rename(columns=rename)
+            c_pdf = c_pdf.sort_values([ctx_ts, idx_priv], kind="mergesort")
+            merged = pd.merge_asof(
+                p_pdf,
+                c_pdf[[on, ctx_ts] + out_names],
+                left_on=probe_ts,
+                right_on=ctx_ts,
+                by=on,
+                direction="backward",
+                allow_exact_matches=not strict,
+            )[probe_cols + out_names]
+        if len(p_null):
+            merged = pd.concat([merged, p_null], ignore_index=True)
+        return merged
 
     return (
         p.groupBy(*keys)

@@ -124,7 +124,7 @@ def rolling_range(
     df: DataFrame,
     entity: str,
     ts: str,
-    window_s: int,
+    window_s: float,
     aggs: dict[str, Column],
     order_col: str | None = None,
 ) -> DataFrame:
@@ -137,12 +137,22 @@ def rolling_range(
     the order expression, which Catalyst cannot unify — the plan then
     carries one Sort per aggregate (measured: 3 extra per-partition
     sorts in the flagship pipeline). Pass `order_col` when the epoch-
-    seconds column is already materialized upstream."""
+    seconds column is already materialized upstream.
+
+    Fractional `window_s` is honored at millisecond precision by
+    ordering over a ms-scaled long key (rangeBetween bounds are
+    integral) — it used to truncate to whole seconds silently
+    (round-3 review finding)."""
     order = F.col(order_col) if order_col else ts_seconds(ts)
+    if float(window_s) == int(window_s):
+        bound, okey = int(window_s), order
+    else:
+        bound = int(round(float(window_s) * 1000))
+        okey = F.round(order * 1000).cast("long")
     wr = (
         Window.partitionBy(entity)
-        .orderBy(order)
-        .rangeBetween(-int(window_s), Window.currentRow)
+        .orderBy(okey)
+        .rangeBetween(-bound, Window.currentRow)
     )
     # withColumn-style replace-on-collision: pre-existing columns whose
     # names collide with aggs keys are dropped, not duplicated

@@ -147,8 +147,6 @@ def add_top_tools_vocab(
     aggregate job). Callers with |V| > ~64 should use the 'stream'
     kernel instead — the column count grows with |V|.
     """
-    from pyspark.sql import functions as F  # local alias for clarity
-
     if vocab is None:
         vocab = [
             r["tool"]
@@ -156,7 +154,9 @@ def add_top_tools_vocab(
                 F.col("tool").isNotNull() & (F.col("tool") != "")
             ).select("tool").distinct().collect()
         ]
-    vocab = sorted(vocab)
+    # set(): a duplicated catalog-stat entry would otherwise count the
+    # same tool in two _tc columns and repeat it inside top_tools
+    vocab = sorted(set(vocab))
     if not vocab:
         # no tools anywhere (empty input / all-null tool column): the
         # expanding top-k is [] for every row — and F.array() of zero

@@ -123,7 +123,7 @@ def add_rolling(
     }
     # order by the already-materialized epoch-seconds column so the
     # rolling window's sort key unifies with one Sort node
-    df = core.rolling_range(df, ENTITY, TS, int(window_s), aggs, order_col=TS_SEC)
+    df = core.rolling_range(df, ENTITY, TS, window_s, aggs, order_col=TS_SEC)
     distinct = (
         F.col("_roll_tools")
         if approx_distinct

@@ -68,14 +68,12 @@ def add_text_features(df: DataFrame) -> DataFrame:
     df = df.select("*", "_txt.clean_text", "_txt.txt_len", "_txt.txt_words").drop(
         "_txt"
     )
-    # 3-way threshold binning (P11 analog; thresholds in functions/text.py)
-    return df.withColumn(
-        "len_class",
-        F.when(F.col("txt_len").isNull(), F.lit(None).cast("string"))
-        .when(F.col("txt_len") >= 250, "Light")
-        .when(F.col("txt_len") > 190, "Regular")
-        .otherwise("Bold"),
-    )
+    # 3-way threshold binning (P11 analog) — the ONE Spark-side
+    # implementation lives in operators/core.bin_threshold; the oracle
+    # twin is functions/text.len_class_py (same 250/190 thresholds)
+    from engine.operators.core import bin_threshold
+
+    return df.withColumn("len_class", bin_threshold(F.col("txt_len"), 250, 190))
 
 
 MAX_VOCAB = 64
@@ -215,7 +213,15 @@ def extract_features(
     if len(vocab) <= MAX_VOCAB:
         good = add_top_tools_vocab(good, vocab=list(vocab))
     else:
-        good = add_top_tools_expanding(good, assume_partitioned=True)
+        # assume_partitioned only holds when the upstream plan left each
+        # conversation CONTIGUOUS in one partition: true after the jvm
+        # as-of (windows partition by conv_id), FALSE after the kernel
+        # strategy, whose cogroup keys (_ab, _ac) split a conversation
+        # across kernel_chunks partitions — running the per-partition
+        # expanding count there silently corrupts top_tools (round-3
+        # review finding)
+        conv_contiguous = context is None or asof_strategy == "jvm"
+        good = add_top_tools_expanding(good, assume_partitioned=conv_contiguous)
 
     features = good.select(*[f.name for f in FEATURE_SCHEMA.fields])
     meta = {

@@ -90,3 +90,44 @@ import pytest
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
+
+
+def test_asof_null_timestamps_parity(spark):
+    """Null-timestamp semantics (round-3 review): a NULL-ctx_ts context
+    row is never admissible (the jvm null-first sort used to serve its
+    payload to every early probe), and a NULL-ts probe emits null
+    payloads in BOTH strategies (merge_asof used to crash)."""
+    from datetime import datetime
+
+    from engine.operators.asof import asof_join
+
+    T0 = datetime(2024, 1, 1)
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    probe = spark.createDataFrame(
+        [("c1", 0, ts(10)), ("c1", 1, ts(20)), ("c1", 2, None)],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    context = spark.createDataFrame(
+        [
+            ("c1", None, 0, 999.0, "poison"),   # null event time
+            ("c1", ts(15), 1, 1.0, "ok"),
+        ],
+        "conv_id string, event_ts timestamp, event_idx int, "
+        "ctx_value double, ctx_label string",
+    )
+    for strategy in ("jvm", "kernel"):
+        rows = {
+            r["turn_idx"]: (r["asof_ctx_value"], r["asof_ctx_label"])
+            for r in asof_join(
+                probe, context, strategy=strategy, kernel_chunks=1
+            ).collect()
+        }
+        # probe at t=10: only the null-ts row precedes it → NO match
+        assert rows[0] == (None, None), strategy
+        # probe at t=20: the real t=15 event
+        assert rows[1] == (1.0, "ok"), strategy
+        # null-ts probe: no admissible event, nulls — not a crash
+        assert rows[2] == (None, None), strategy

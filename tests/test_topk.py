@@ -106,3 +106,22 @@ def test_rolling_approx_distinct_tolerance(spark, transcripts_df):
     worst = max(abs(r["roll_tools_distinct_5m"] - r["approx_d"]) for r in rows)
     # rsd 0.05 on counts <= ~12 distinct tools: off by at most 1
     assert worst <= 1, worst
+
+
+def test_vocab_duplicates_deduped(spark, transcripts_df):
+    """A duplicated catalog-stat vocab entry must not repeat the same
+    tool inside top_tools (round-3 review)."""
+    from engine.operators.topk import add_top_tools_vocab
+
+    base = add_top_tools_vocab(
+        transcripts_df, vocab=["search", "python", "bash"]
+    ).select("conv_id", "turn_idx", "top_tools")
+    duped = add_top_tools_vocab(
+        transcripts_df, vocab=["search", "search", "python", "bash"]
+    ).select("conv_id", "turn_idx", "top_tools")
+    merged = base.join(
+        duped.withColumnRenamed("top_tools", "tt2"), ["conv_id", "turn_idx"]
+    )
+    from pyspark.sql import functions as F
+
+    assert merged.filter(F.col("top_tools") != F.col("tt2")).count() == 0

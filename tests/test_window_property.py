@@ -93,3 +93,28 @@ def test_sessionize_and_rolling_match_reference(spark_global, data):
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
+
+
+def test_fractional_rolling_window(spark):
+    """Sub-second rolling windows are honored at ms precision — they
+    used to truncate int(0.5)=0 silently (round-3 review)."""
+    from datetime import datetime, timedelta
+
+    from engine.operators.core import rolling_range
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("a", 0, t0),
+        ("a", 1, t0 + timedelta(milliseconds=300)),   # within 0.5s of #0
+        ("a", 2, t0 + timedelta(milliseconds=1200)),  # not within 0.5s of #1
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    out = rolling_range(
+        df, "conv_id", "ts", 0.5, {"n": F.count(F.lit(1))}
+    )
+    got = {r["turn_idx"]: r["n"] for r in out.collect()}
+    assert got == {0: 1, 1: 2, 2: 1}
+    # integral windows keep the original exact-seconds path
+    out2 = rolling_range(df, "conv_id", "ts", 2, {"n": F.count(F.lit(1))})
+    assert {r["turn_idx"]: r["n"] for r in out2.collect()} == {0: 1, 1: 2, 2: 3}
