@@ -81,7 +81,9 @@ def q_doc_quality(spark, sf_dir):
         .withColumn("_nt", D.n_tokens_ws(F.col("text")))
     )
     score = (
-        0.4 * F.least(F.col("_nt") / F.lit(100.0), F.lit(1.0))
+        # coalesce: NULL text is zero-length, not full length credit
+        # (F.least skips nulls — see functions/docs.quality_score)
+        0.4 * F.least(F.coalesce(F.col("_nt"), F.lit(0)) / F.lit(100.0), F.lit(1.0))
         + 0.3 * (F.lit(1.0) - F.least(F.col("_punct"), F.lit(1.0)))
         + 0.3 * F.least(F.col("_sw") * 5.0, F.lit(1.0))
     )
@@ -118,8 +120,9 @@ WITH b AS (
               THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
               ELSE 0.0 END AS mean_word_len,
          -- blank guard: string_split_regex('', ..) yields [''] (len 1)
-         -- in DuckDB while the engine's n_tokens_ws returns 0
-         CASE WHEN blank THEN 0 ELSE len(toks) END AS n_toks
+         -- in DuckDB while the engine's n_tokens_ws returns 0;
+         -- COALESCE: NULL text is zero-length in both engines
+         COALESCE(CASE WHEN blank THEN 0 ELSE len(toks) END, 0) AS n_toks
   FROM b
 ), s AS (
   SELECT doc_id, punct_ratio, stopword_ratio, mean_word_len,

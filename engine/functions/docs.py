@@ -66,11 +66,6 @@ def content_fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
-# SQL fragment of normalize_text over a named column, for expr-composed
-# builders (substr needs a column start position, which the Python DSL
-# F.substring does not take).
-def _sql_norm(col_name: str) -> str:
-    return f"lower(trim(regexp_replace({col_name}, '\\\\s+', ' ')))"
 
 
 def rolling_fingerprint_over_norm(norm_col: str, k: int = 8) -> Column:
@@ -92,7 +87,9 @@ def rolling_fingerprint_over_norm(norm_col: str, k: int = 8) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Non-alphanumeric-non-space chars / total chars (0 when empty)."""
+    """Non-alphanumeric-non-space chars / NON-SPACE chars (0 when
+    empty) — whitespace is excluded from the denominator so the ratio
+    measures punctuation density of the visible content."""
     n = F.length(text)
     n_punct = n - F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
     n_space = n - F.length(F.regexp_replace(text, r"\s", ""))
@@ -120,8 +117,15 @@ def quality_score(text: Column) -> Column:
     """Composite document-quality score in [0, 1]:
     0.4·min(tokens/100, 1) + 0.3·(1 − punct_ratio) + 0.3·min(5·stopword_ratio, 1).
     (Length / punctuation / stopword components, mirroring the
-    reference's threshold-gate family F5/F6 + confidence scoring A6.)"""
-    len_c = F.least(n_tokens_ws(text) / F.lit(100.0), F.lit(1.0))
+    reference's threshold-gate family F5/F6 + confidence scoring A6.)
+
+    NULL text counts as zero-length (score 0.3, same as empty string):
+    without the coalesce, ANSI size(NULL)=NULL made F.least skip the
+    null and give a contentless document FULL length credit — 0.7,
+    binned 'high' (round-3 review finding)."""
+    len_c = F.least(
+        F.coalesce(n_tokens_ws(text), F.lit(0)) / F.lit(100.0), F.lit(1.0)
+    )
     punct_c = F.lit(1.0) - F.least(punct_ratio(text), F.lit(1.0))
     sw_c = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
     return 0.4 * len_c + 0.3 * punct_c + 0.3 * sw_c

@@ -84,11 +84,14 @@ def hot_entities(
     (entity, est_rows)."""
     s = df.sample(fraction=sample_frac, seed=seed)
     total = s.count()
-    if total == 0:
+    cut = int(total * threshold_frac)
+    if cut < 2:
+        # sample too small to tell hot from noise: with a floor of 1,
+        # EVERY sampled entity would be flagged hot (round-3 review) —
+        # at sizes this small skew cannot matter anyway
         return s.select(F.col(entity)).limit(0).withColumn(
             "est_rows", F.lit(0).cast("long")
         )
-    cut = max(1, int(total * threshold_frac))
     return (
         s.groupBy(entity)
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -95,7 +95,11 @@ def run_resumable(
     batches: list[tuple] = [(b, batch_filter(entity_col, n_batches, b))
                             for b in range(n_batches)]
     if hot_keys:
-        not_hot = ~F.col(entity_col).isin(hot_keys)
+        # NULL-safe: plain ~isin(...) is NULL for a null entity key, so
+        # filter would drop malformed rows from EVERY batch — bypassing
+        # the MISSING_KEY quarantine those rows exist to exercise
+        # (round-3 review finding). Nulls stay in their hash batch.
+        not_hot = ~F.col(entity_col).isin(hot_keys) | F.col(entity_col).isNull()
         batches = [(b, pred & not_hot) for b, pred in batches]
         batches.append(("hot", F.col(entity_col).isin(hot_keys)))
 

@@ -75,7 +75,11 @@ def stream_sessionize(
         df.withWatermark("ts", watermark)
         .groupBy(
             F.col("conv_id"),
-            F.session_window("ts", f"{int(gap_s)} seconds").alias("session"),
+            # milliseconds: int(gap_s) truncated fractional gaps to
+            # whole seconds (0.5 → a zero/invalid gap) silently
+            F.session_window("ts", f"{int(gap_s * 1000)} milliseconds").alias(
+                "session"
+            ),
         )
         .agg(
             F.count(F.lit(1)).alias("n_turns"),
@@ -101,12 +105,16 @@ def stream_rolling_counts(
 ) -> DataFrame:
     """Sliding event-time window counts per conversation — the
     streaming analog of the batch rolling RANGE frame."""
-    slide = int(slide_s or max(1, int(window_s) // 5))
+    slide_ms = int((slide_s if slide_s is not None else max(1.0, window_s / 5)) * 1000)
     return (
         df.withWatermark("ts", watermark)
         .groupBy(
             F.col("conv_id"),
-            F.window("ts", f"{int(window_s)} seconds", f"{slide} seconds").alias("w"),
+            F.window(
+                "ts",
+                f"{int(window_s * 1000)} milliseconds",
+                f"{slide_ms} milliseconds",
+            ).alias("w"),
         )
         .agg(
             F.count(F.lit(1)).alias("roll_cnt"),
@@ -143,12 +151,12 @@ ASOF_OUT_SCHEMA = T.StructType(
 # above the watermark) plus the collapsed context "floor" at/below it
 _ASOF_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("p_ts", T.ArrayType(T.LongType())),     # epoch ms
+        T.StructField("p_ts", T.ArrayType(T.LongType())),     # epoch us
         T.StructField("p_idx", T.ArrayType(T.LongType())),
         T.StructField("p_role", T.ArrayType(T.StringType())),
         T.StructField("p_text", T.ArrayType(T.StringType())),
         T.StructField("p_tool", T.ArrayType(T.StringType())),
-        T.StructField("c_ts", T.ArrayType(T.LongType())),     # epoch ms
+        T.StructField("c_ts", T.ArrayType(T.LongType())),     # epoch us
         T.StructField("c_idx", T.ArrayType(T.LongType())),
         T.StructField("c_val", T.ArrayType(T.DoubleType())),
         T.StructField("c_lab", T.ArrayType(T.StringType())),
@@ -181,7 +189,9 @@ def _asof_state_fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.Data
         floor_ts, floor_idx, floor_val, floor_lab = -1, -1, None, None
 
     for pdf in pdfs:
-        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+        # MICROsecond precision end-to-end: ms truncation diverged from
+        # the batch twin (epoch-us doubles) on sub-ms timestamps
+        ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
         sides = pdf["_side"].tolist()
         idxs = pdf["_idx"].tolist()
         roles = pdf["role"].tolist()
@@ -191,24 +201,27 @@ def _asof_state_fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.Data
         labs = pdf["_clab"].tolist()
         for i in range(len(pdf)):
             if sides[i] == 1:
-                probes.append((ts_ms[i], idxs[i], roles[i], texts[i], tools[i]))
+                probes.append((ts_us[i], idxs[i], roles[i], texts[i], tools[i]))
             else:
                 v = vals[i]
                 ctxs.append(
-                    (ts_ms[i], idxs[i], None if pd.isna(v) else float(v), labs[i])
+                    (ts_us[i], idxs[i], None if pd.isna(v) else float(v), labs[i])
                 )
 
-    wm = state.getCurrentWatermarkMs()
+    # STRICT prefix: the late-row filter drops ts < wm, so a row AT the
+    # watermark can still arrive — and a context at ts == wm would be
+    # admissible to a probe at ts == wm. Only ts < wm is final.
+    wm_us = state.getCurrentWatermarkMs() * 1000
 
     out_rows = []
     if probes:
         emit = sorted(
-            (p for p in probes if p[0] <= wm), key=lambda p: (p[0], p[1])
+            (p for p in probes if p[0] < wm_us), key=lambda p: (p[0], p[1])
         )
         if emit:
             # context candidates, event-time order
             cand = sorted(ctxs, key=lambda c: (c[0], c[1]))
-            probes = [p for p in probes if p[0] > wm]
+            probes = [p for p in probes if p[0] >= wm_us]
             j = 0
             best = (
                 (floor_ts, floor_idx, floor_val, floor_lab)
@@ -228,7 +241,7 @@ def _asof_state_fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.Data
                     {
                         "conv_id": conv_id,
                         "turn_idx": int(pidx),
-                        "ts": pd.Timestamp(pts, unit="ms"),
+                        "ts": pd.Timestamp(pts, unit="us"),
                         "role": prole,
                         "text": ptext,
                         "tool": ptool,
@@ -237,16 +250,19 @@ def _asof_state_fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.Data
                     }
                 )
 
-    # collapse contexts at/below the watermark into the floor: only the
-    # latest of them can match any future (ts > wm) probe
-    old = [c for c in ctxs if c[0] <= wm]
+    # collapse contexts strictly below the watermark into the floor:
+    # only the latest of them can match any future (ts >= wm) probe
+    old = [c for c in ctxs if c[0] < wm_us]
     if old:
         mx = max(old, key=lambda c: (c[0], c[1]))
         if floor_ts < 0 or (mx[0], mx[1]) > (floor_ts, floor_idx):
             floor_ts, floor_idx, floor_val, floor_lab = mx
-    ctxs = [c for c in ctxs if c[0] > wm]
+    ctxs = [c for c in ctxs if c[0] >= wm_us]
 
-    if probes or ctxs:
+    # the FLOOR is state too: dropping it once probes/ctxs drain would
+    # make the next probe of this conversation match nothing while the
+    # batch engine matches the collapsed old context (review finding)
+    if probes or ctxs or floor_ts >= 0:
         probes.sort(key=lambda p: (p[0], p[1]))
         ctxs.sort(key=lambda c: (c[0], c[1]))
         state.update((
@@ -258,9 +274,11 @@ def _asof_state_fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.Data
             floor_ts, floor_idx, floor_val, floor_lab,
         ))
         if probes:
-            # fire when the watermark reaches the earliest pending probe
+            # fire when the watermark passes the earliest pending probe
             # (max(.., wm+1): the timeout must sit above the current wm)
-            state.setTimeoutTimestamp(max(probes[0][0], wm + 1))
+            state.setTimeoutTimestamp(
+                max(probes[0][0] // 1000 + 1, wm_us // 1000 + 1)
+            )
     elif state.exists:
         state.remove()
 
@@ -338,7 +356,7 @@ TOPK_OUT_SCHEMA = T.StructType(
 
 _TOPK_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("p_ts", T.ArrayType(T.LongType())),    # pending, epoch ms
+        T.StructField("p_ts", T.ArrayType(T.LongType())),    # pending, epoch us
         T.StructField("p_idx", T.ArrayType(T.LongType())),
         T.StructField("p_tool", T.ArrayType(T.StringType())),
         T.StructField("c_tool", T.ArrayType(T.StringType())),  # counts so far
@@ -364,14 +382,19 @@ def _make_topk_state_fn(k: int):
             pending, counts = [], {}
 
         for pdf in pdfs:
-            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+            # us precision + STRICT prefix (ts < wm): rows AT the
+            # watermark can still arrive, and ms truncation diverged
+            # from the batch twin on sub-ms timestamps
+            ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
             idxs = pdf["turn_idx"].tolist()
             tools = pdf["tool"].tolist()
-            pending.extend(zip(ts_ms, idxs, tools))
+            pending.extend(zip(ts_us, idxs, tools))
 
-        wm = state.getCurrentWatermarkMs()
-        emit = sorted((p for p in pending if p[0] <= wm), key=lambda p: (p[0], p[1]))
-        pending = [p for p in pending if p[0] > wm]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        emit = sorted(
+            (p for p in pending if p[0] < wm_us), key=lambda p: (p[0], p[1])
+        )
+        pending = [p for p in pending if p[0] >= wm_us]
 
         out_rows = []
         for pts, pidx, ptool in emit:
@@ -388,7 +411,7 @@ def _make_topk_state_fn(k: int):
                 {
                     "conv_id": conv_id,
                     "turn_idx": int(pidx),
-                    "ts": pd.Timestamp(pts, unit="ms"),
+                    "ts": pd.Timestamp(pts, unit="us"),
                     "top_tools": top,
                 }
             )
@@ -402,7 +425,9 @@ def _make_topk_state_fn(k: int):
                 [t for t, _ in items], [n for _, n in items],
             ))
             if pending:
-                state.setTimeoutTimestamp(max(pending[0][0], wm + 1))
+                state.setTimeoutTimestamp(
+                    max(pending[0][0] // 1000 + 1, wm_us // 1000 + 1)
+                )
         elif state.exists:
             state.remove()
 
@@ -585,7 +610,7 @@ SESS_OUT_SCHEMA = T.StructType(
 
 _SESS_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("p_ts", T.ArrayType(T.LongType())),  # pending, epoch ms
+        T.StructField("p_ts", T.ArrayType(T.LongType())),  # pending, epoch us
         T.StructField("p_idx", T.ArrayType(T.LongType())),
         T.StructField("last_ts", T.LongType()),            # -1 = none emitted
         T.StructField("cur_sess", T.IntegerType()),
@@ -595,7 +620,7 @@ _SESS_STATE_SCHEMA = T.StructType(
 
 
 def _make_sess_state_fn(gap_s: float):
-    gap_ms = int(gap_s * 1000)
+    gap_us = int(gap_s * 1_000_000)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         """Watermark-buffered exact sessionizer: emits the BATCH
@@ -604,7 +629,8 @@ def _make_sess_state_fn(gap_s: float):
         built-in session_window cannot produce session *indices*
         (it keys sessions by window struct); this state machine can,
         because emission is gated on the watermark so the event-time
-        prefix is final."""
+        prefix is final. Microsecond precision + strict `ts < wm`
+        finality (rows AT the watermark can still arrive)."""
         conv_id = key[0]
         if state.exists:
             p_ts, p_idx, last_ts, cur_sess, cur_turn = state.get
@@ -615,20 +641,22 @@ def _make_sess_state_fn(gap_s: float):
         for pdf in pdfs:
             pending.extend(
                 zip(
-                    (pdf["ts"].astype("int64") // 1_000_000).tolist(),
+                    (pdf["ts"].astype("int64") // 1_000).tolist(),
                     pdf["turn_idx"].tolist(),
                 )
             )
 
-        wm = state.getCurrentWatermarkMs()
-        emit = sorted((p for p in pending if p[0] <= wm), key=lambda p: (p[0], p[1]))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        emit = sorted(
+            (p for p in pending if p[0] < wm_us), key=lambda p: (p[0], p[1])
+        )
         pending = sorted(
-            (p for p in pending if p[0] > wm), key=lambda p: (p[0], p[1])
+            (p for p in pending if p[0] >= wm_us), key=lambda p: (p[0], p[1])
         )
 
         out = []
         for pts, pidx in emit:
-            if last_ts < 0 or pts - last_ts > gap_ms:
+            if last_ts < 0 or pts - last_ts > gap_us:
                 cur_sess += 1
                 cur_turn = 1
             else:
@@ -638,7 +666,7 @@ def _make_sess_state_fn(gap_s: float):
                 {
                     "conv_id": conv_id,
                     "turn_idx": int(pidx),
-                    "ts": pd.Timestamp(pts, unit="ms"),
+                    "ts": pd.Timestamp(pts, unit="us"),
                     "session_id": cur_sess,
                     "sess_turn_no": cur_turn,
                 }
@@ -650,7 +678,9 @@ def _make_sess_state_fn(gap_s: float):
                 last_ts, cur_sess, cur_turn,
             ))
             if pending:
-                state.setTimeoutTimestamp(max(pending[0][0], wm + 1))
+                state.setTimeoutTimestamp(
+                    max(pending[0][0] // 1000 + 1, wm_us // 1000 + 1)
+                )
         elif state.exists:
             state.remove()
 
@@ -761,7 +791,7 @@ def _make_funnel_state_fn(gap_s: float):
         out = []
         n_final = 0
         for sess in sessions:
-            if sess[-1][0] + gap_us > wm_us:
+            if sess[-1][0] + gap_us >= wm_us:
                 break  # this and every later session stays pending
             n_final += 1
             t1 = min((us for us, _, k in sess if k == "view"), default=None)

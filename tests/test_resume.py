@@ -345,3 +345,26 @@ def test_range_layout_compaction_enables_table_pruning(spark, transcripts_df, io
     pruned = io.read(spark, "rl", ts_range=(lo, hi))
     assert len(pruned.inputFiles()) < m["n_files"]
     assert pruned.count() > 0
+
+
+def test_isolate_hot_keeps_null_key_rows_in_quarantine(
+    spark, transcripts_df, context_df, io
+):
+    """Rows with NULL conv_id must still reach the MISSING_KEY
+    quarantine when isolate_hot is on — three-valued ~isin() used to
+    drop them from every batch silently (round-3 review)."""
+    from pyspark.sql import functions as F
+
+    bad = spark.createDataFrame(
+        [(None, 0, "user", "orphan row", None, transcripts_df.first()["ts"])],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    src = transcripts_df.unionByName(bad)
+    run_resumable(
+        spark, src, context_df, io, job_id="jobn",
+        n_batches=2, isolate_hot=True, hot_sample_frac=0.5,
+    )
+    errs = io.read(spark, "errors")
+    assert errs.filter(F.col("code") == "MISSING_KEY").count() == 1
+    assert io.read(spark, "features").count() == transcripts_df.count()

@@ -83,3 +83,16 @@ def test_kernel_asof_hot_entity_chunked(spark, transcripts_df, context_df):
         .distinct().count()
     )
     assert n_chunks > 1
+
+
+def test_hot_entities_small_sample_returns_nothing(spark):
+    """With too few sampled rows to distinguish hot from noise, the
+    detector must return an EMPTY set — the old max(1, ...) floor
+    declared every sampled entity hot (round-3 review)."""
+    from engine.operators.skew import hot_entities
+
+    tiny = spark.createDataFrame(
+        [(f"c{i}", i) for i in range(50)], "conv_id string, x int"
+    )
+    assert hot_entities(tiny, "conv_id", threshold_frac=0.01,
+                        sample_frac=0.5).count() == 0

@@ -67,3 +67,24 @@ def test_engine_matches_oracle_per_turn(spark, transcripts_df, transcripts_pdf):
         assert (pd.isna(a) and pd.isna(b)) or a == b, (
             f"row {i} ({got['conv_id'].iat[i]},{got['turn_idx'].iat[i]}): {a!r} != {b!r}"
         )
+
+
+def test_quality_score_null_text_scores_like_empty(spark):
+    """NULL text must score as contentless (0.3, 'low'), not collect
+    full length credit via ANSI size(NULL) + least's null-skipping
+    (round-3 review: it scored 0.7 → 'high')."""
+    from engine.functions.docs import quality_score
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "real text with some actual words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["q"]
+        for r in df.select(
+            "doc_id", F.round(quality_score(F.col("text")), 6).alias("q")
+        ).collect()
+    }
+    assert got[0] == got[1] == 0.3
+    assert got[2] > 0.3
