@@ -64,7 +64,26 @@ def _cpu_probe(cpus: int) -> dict:
         "Miter_s_8p": round(lo, 1),
         f"Miter_s_{cpus}p": round(hi, 1),
         "ceiling_eff_8_to_n": round((hi / lo) / (cpus / 8), 3),
+        # memory-BANDWIDTH leg: the spin loop is cache-resident ALU and
+        # stays fast under co-tenant bandwidth pressure, which is
+        # exactly what throttles Spark's scan/shuffle-heavy phases
+        # (observed: flagship 11-12 s with BOTH spin probes quiet).
+        # Quiet reference ~? GB/s — recorded per run; compare rounds.
+        "membw_GBps": _membw_probe(),
     }
+
+
+def _membw_probe(n_mb: int = 512) -> float:
+    import numpy as np
+
+    a = np.ones(n_mb * 1024 * 1024 // 8, dtype=np.float64)
+    t0 = time.time()
+    s = 0.0
+    for _ in range(4):
+        s += float(a.sum())
+    dt = time.time() - t0
+    del s
+    return round(4 * n_mb / 1024 / dt, 2)
 
 
 def _materialize(df) -> int:
