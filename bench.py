@@ -193,7 +193,10 @@ def run_bench(sf_dir: str, cpus: int, only: set[str] | None, n_turns: int) -> di
     # single-shot timing is noise: take the best of `reps` runs, with
     # the plan REBUILT each rep (fresh RDD ids — Spark would otherwise
     # reuse the previous rep's shuffle files and flatter the number).
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # 5 reps (was 3): the round-3 interference proved bursty at
+    # second granularity — snapshot probes read healthy around slow
+    # runs — so best-of needs more draws to catch a calm burst
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     probe_before = _cpu_probe(cpus)
     flag_s = float("inf")
     for _ in range(reps):
