@@ -171,7 +171,10 @@ WITH h AS (
   FROM documents
 )
 SELECT doc_id, de_hits, en_hits, es_hits, fr_hits,
-       CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'und'
+       -- COALESCE: NULL text gives NULL hit counts, which fell through
+       -- every WHEN to the ELSE branch ('fr') while the engine says 'und'
+       CASE WHEN COALESCE(greatest(de_hits, en_hits, es_hits, fr_hits), 0) = 0
+              THEN 'und'
             WHEN de_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'de'
             WHEN en_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'en'
             WHEN es_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'es'
@@ -225,7 +228,11 @@ def q_doc_regex_extract(spark, sf_dir):
 
 SQL_DOC_REGEX_EXTRACT = r"""
 SELECT doc_id,
-       coalesce(regexp_extract(text, '\b(s\w+)\b', 1), '') AS first_s_word,
+       -- NULL text → NULL (Spark regexp_extract semantics); the
+       -- coalesce only papers over DuckDB's NULL-on-no-match
+       CASE WHEN text IS NULL THEN NULL
+            ELSE coalesce(regexp_extract(text, '\b(s\w+)\b', 1), '') END
+         AS first_s_word,
        len(regexp_extract_all(text, '\b\w*a\w*\b')) AS n_a_words,
        trim(regexp_replace(regexp_replace(text, '\b(the|a|of)\b', '', 'g'),
                            '\s+', ' ', 'g')) AS stripped
@@ -330,7 +337,9 @@ SQL_DOC_ENRICH_JOIN = f"""
 WITH dim(word, enrich_lang) AS (VALUES {_DIM_VALUES}),
 keyed AS (
   SELECT doc_id,
-         coalesce(regexp_extract(lower(text), '\\b([a-z]+)\\b', 1), '') AS first_word
+         CASE WHEN text IS NULL THEN NULL
+              ELSE coalesce(regexp_extract(lower(text), '\\b([a-z]+)\\b', 1), '') END
+           AS first_word
   FROM documents
 )
 SELECT k.doc_id, k.first_word, d.enrich_lang
@@ -609,9 +618,12 @@ WITH toks AS (
   SELECT doc_id, {_BITSUMS_SQL}, COUNT(h) AS _n_tok
   FROM h GROUP BY doc_id
 )
-SELECT doc_id,
+-- LEFT JOIN back to documents: unnest of a NULL token list drops the
+-- doc from `toks` entirely, while the engine (explode_outer) keeps it
+-- with simhash NULL — row counts must agree on NULL-text docs
+SELECT d.doc_id,
        CAST(CASE WHEN _n_tok > 0 THEN {_SIMHASH_SQL} END AS INT) AS simhash
-FROM agg
+FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 

@@ -116,10 +116,15 @@ def generate_transcripts(
     # reset accumulation at conversation starts
     base = np.repeat(ts_s[first_of_conv] - conv_starts, sizes)
     ts_s = ts_s - base
-    # ~1% duplicate-ts ties (tie-break is turn_idx)
+    # ~1% duplicate-ts ties (tie-break is turn_idx). Sequential loop,
+    # NOT vectorized ts_s[idx] = ts_s[idx-1]: with two adjacent flagged
+    # rows the vectorized form reads the stale pre-update value and the
+    # second row silently fails to tie (round-3 review finding); the
+    # loop chains adjacent flags into an intended triple tie. idx is
+    # ~1% of n — trivial even at bench scale.
     dup = (rng.random(n) < 0.01) & ~first_of_conv
-    idx = np.nonzero(dup)[0]
-    ts_s[idx] = ts_s[idx - 1]
+    for i in np.nonzero(dup)[0]:
+        ts_s[i] = ts_s[i - 1]
     # re-sort non-decreasing within conv after the dup stamp (dup sets equal
     # to the *previous* row so order is preserved; but a dup row's successors
     # keep their larger cumsum — still monotone). Round to ms for parquet.
@@ -244,9 +249,10 @@ def generate_transcripts_conv_range(
         )
         gaps[0] = rng.uniform(0, 30 * 86400)  # conversation start offset
         ts_s = np.add.accumulate(gaps)
+        # sequential for adjacent flags — see generate_transcripts
         dup = (rng.random(n) < 0.01) & (turn_idx > 0)
-        idx = np.nonzero(dup)[0]
-        ts_s[idx] = ts_s[idx - 1]
+        for i in np.nonzero(dup)[0]:
+            ts_s[i] = ts_s[i - 1]
         ts = pd.Timestamp(start) + pd.to_timedelta(np.round(ts_s, 3), unit="s")
 
         frames.append(

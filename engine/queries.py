@@ -244,6 +244,43 @@ GROUP BY event_type, CAST(FLOOR(value / 25.0) AS BIGINT)
 """
 
 
+# Shared oracle CTEs — ONE definition of gap sessionization per form
+# (round-3 review: six copy-pasted variants risked silent divergence
+# from core.sessionize on any future semantics change). sec-form keeps
+# a float `sec` per row for step/interval math; g-form keeps raw
+# epoch_us arithmetic and carries event_type.
+_SESSIONIZED_SEC_CTE = """WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         epoch_us(ts) / 1000000.0 AS sec,
+         LAG(epoch_us(ts) / 1000000.0) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+  FROM events
+), b AS (
+  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800.0
+                 THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+            AS INT) AS session_id
+  FROM b
+)"""
+
+_SESSIONIZED_GS_CTE = f"""WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1e6 > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT) AS session_id
+  FROM g
+)"""
+
+
 def q_session_funnel(spark, sf_dir):
     """Composite analytics: gap-sessionize events per user (W4), then a
     per-session view->purchase conversion funnel — sessions counted as
@@ -274,23 +311,8 @@ def q_session_funnel(spark, sf_dir):
     )
 
 
-SQL_SESSION_FUNNEL = """
-WITH o AS (
-  SELECT user_id, ts, event_id, event_type,
-         epoch_us(ts) / 1000000.0 AS sec,
-         LAG(epoch_us(ts) / 1000000.0) OVER
-           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
-  FROM events
-), b AS (
-  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800.0
-                 THEN 1 ELSE 0 END AS brk
-  FROM o
-), s AS (
-  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-            AS INT) AS session_id
-  FROM b
-), per_sess AS (
+SQL_SESSION_FUNNEL = f"""
+{_SESSIONIZED_SEC_CTE}, per_sess AS (
   SELECT user_id, session_id,
          MIN(CASE WHEN event_type = 'view' THEN sec END) AS first_view,
          MAX(CASE WHEN event_type = 'purchase' THEN sec END) AS last_purchase
@@ -367,23 +389,8 @@ def funnel_steps(ev):
     )
 
 
-SQL_FUNNEL_STEPS = """
-WITH o AS (
-  SELECT user_id, ts, event_id, event_type,
-         epoch_us(ts) / 1000000.0 AS sec,
-         LAG(epoch_us(ts) / 1000000.0) OVER
-           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
-  FROM events
-), b AS (
-  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800.0
-                 THEN 1 ELSE 0 END AS brk
-  FROM o
-), s AS (
-  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-            AS INT) AS session_id
-  FROM b
-), s1 AS (
+SQL_FUNNEL_STEPS = f"""
+{_SESSIONIZED_SEC_CTE}, s1 AS (
   SELECT *, MIN(CASE WHEN event_type = 'view' THEN sec END)
               OVER (PARTITION BY user_id, session_id) AS t1
   FROM s
@@ -439,23 +446,8 @@ def q_range_join_sessions(spark, sf_dir):
     )
 
 
-SQL_RANGE_JOIN_SESSIONS = """
-WITH o AS (
-  SELECT user_id, ts, event_id, event_type,
-         epoch_us(ts) / 1000000.0 AS sec,
-         LAG(epoch_us(ts) / 1000000.0) OVER
-           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
-  FROM events
-), b AS (
-  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800.0
-                 THEN 1 ELSE 0 END AS brk
-  FROM o
-), s AS (
-  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-            AS INT) AS session_id
-  FROM b
-), iv AS (
+SQL_RANGE_JOIN_SESSIONS = f"""
+{_SESSIONIZED_SEC_CTE}, iv AS (
   SELECT user_id, session_id, MIN(sec) AS lo_s, MAX(sec) AS hi_s
   FROM s GROUP BY user_id, session_id
 )
@@ -673,19 +665,7 @@ def q_dedup_sessions(spark, sf_dir):
 
 
 SQL_DEDUP_SESSIONS = f"""
-WITH g AS (
-  SELECT user_id, event_id, ts, event_type,
-         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
-                OR (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1e6 > {SESSION_GAP_S}
-              THEN 1 ELSE 0 END AS new_sess
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-s AS (
-  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT) AS session_id
-  FROM g
-),
+{_SESSIONIZED_GS_CTE},
 per AS (
   SELECT user_id, session_id,
          md5(STRING_AGG(event_type, '>' ORDER BY ts, event_id)) AS fingerprint,
@@ -829,10 +809,10 @@ def q_rolling_approx(spark, sf_dir):
     )
 
 
-def q_asof_purchase(spark, sf_dir):
-    """As-of join: each view event ← latest purchase (ts' <= ts) of the
-    same user. Runs the engine's union-tag as-of operator; the oracle
-    replays the same semantics in DuckDB SQL."""
+def _asof_purchase(spark, sf_dir, **asof_kwargs):
+    """Shared body of the three as-of gate queries (jvm / kernel /
+    strict): view probes <- latest purchase context, differing only in
+    asof_join kwargs, so the variants can never drift apart."""
     ev = _t(spark, sf_dir, "events")
     probe = ev.filter(F.col("event_type") == "view").select(
         "user_id", "ts", "event_id"
@@ -844,21 +824,22 @@ def q_asof_purchase(spark, sf_dir):
         F.col("value").alias("purchase_value"),
     )
     out = asof_join(
-        probe,
-        ctx,
-        on="user_id",
-        probe_ts="ts",
-        probe_idx="event_id",
-        ctx_ts="event_ts",
-        ctx_idx="ctx_id",
-        payload=["purchase_value"],
-        prefix="asof_",
+        probe, ctx,
+        on="user_id", probe_ts="ts", probe_idx="event_id",
+        ctx_ts="event_ts", ctx_idx="ctx_id",
+        payload=["purchase_value"], prefix="asof_", **asof_kwargs,
     )
     return out.select(
-        "user_id",
-        "event_id",
+        "user_id", "event_id",
         F.round("asof_purchase_value", 6).alias("asof_purchase_value"),
     )
+
+
+def q_asof_purchase(spark, sf_dir):
+    """As-of join: each view event <- latest purchase (ts' <= ts) of the
+    same user. Runs the engine's union-tag as-of operator; the oracle
+    replays the same semantics in DuckDB SQL."""
+    return _asof_purchase(spark, sf_dir)
 
 
 SQL_ASOF_PURCHASE = """
@@ -927,19 +908,7 @@ def q_session_assembly(spark, sf_dir):
 
 
 SQL_SESSION_ASSEMBLY = f"""
-WITH g AS (
-  SELECT user_id, event_id, ts, event_type,
-         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
-                OR (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1e6 > {SESSION_GAP_S}
-              THEN 1 ELSE 0 END AS new_sess
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-s AS (
-  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT) AS session_id
-  FROM g
-)
+{_SESSIONIZED_GS_CTE}
 SELECT user_id, session_id, COUNT(*) AS n_events,
        ROUND((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1e6, 6) AS span_s,
        STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
@@ -1127,26 +1096,7 @@ def q_asof_purchase_kernel(spark, sf_dir):
     """Same as-of semantics as q_asof_purchase via the cogrouped
     pd.merge_asof Arrow-kernel strategy — the driver differential-tests
     both physical formulations against ONE SQL oracle."""
-    ev = _t(spark, sf_dir, "events")
-    probe = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", "event_id"
-    )
-    ctx = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("ts").alias("event_ts"),
-        F.col("event_id").alias("ctx_id"),
-        F.col("value").alias("purchase_value"),
-    )
-    out = asof_join(
-        probe, ctx,
-        on="user_id", probe_ts="ts", probe_idx="event_id",
-        ctx_ts="event_ts", ctx_idx="ctx_id",
-        payload=["purchase_value"], prefix="asof_", strategy="kernel",
-    )
-    return out.select(
-        "user_id", "event_id",
-        F.round("asof_purchase_value", 6).alias("asof_purchase_value"),
-    )
+    return _asof_purchase(spark, sf_dir, strategy="kernel")
 
 
 SQL_ASOF_PURCHASE_KERNEL = SQL_ASOF_PURCHASE
@@ -1157,27 +1107,7 @@ def q_asof_purchase_strict(spark, sf_dir):
     visible to the view — the other half of the boundary contract the
     non-strict query pins (events at equal ts exist by construction in
     the fixtures)."""
-    ev = _t(spark, sf_dir, "events")
-    probe = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", "event_id"
-    )
-    ctx = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("ts").alias("event_ts"),
-        F.col("event_id").alias("ctx_id"),
-        F.col("value").alias("purchase_value"),
-    )
-    out = asof_join(
-        probe, ctx,
-        on="user_id", probe_ts="ts", probe_idx="event_id",
-        ctx_ts="event_ts", ctx_idx="ctx_id",
-        payload=["purchase_value"], prefix="asof_",
-        strict=True, strategy="jvm",
-    )
-    return out.select(
-        "user_id", "event_id",
-        F.round("asof_purchase_value", 6).alias("asof_purchase_value"),
-    )
+    return _asof_purchase(spark, sf_dir, strict=True, strategy="jvm")
 
 
 SQL_ASOF_PURCHASE_STRICT = """

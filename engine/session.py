@@ -27,16 +27,27 @@ def build_session(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
-        os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
+    # Master resolution order: explicit arg > env > spark-submit's
+    # --master (already present as spark.master in the submitted conf)
+    # > standalone local default. Unconditionally calling .master()
+    # OVERRODE spark-submit's cluster master — a batch job has no
+    # active session, so the entrypoint's build_session call would
+    # silently pin a 10^12-turn job to local[32] on the driver node
+    # (round-3 review finding).
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            master = "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE", DEFAULT_SHUFFLE_PARTITIONS)
     )
+    b = SparkSession.builder.appName(app_name)
+    if master is not None:
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.session.timeZone", "UTC")
+        b.config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.default.parallelism", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
