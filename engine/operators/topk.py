@@ -30,7 +30,12 @@ def top_tools_expanding_py(
     tools: pd.Series, k: int = TOP_K_TOOLS
 ) -> list[list[str]]:
     """Running top-k over one conversation's tool sequence (already in
-    (ts, turn_idx) order). Shared verbatim with the pandas oracle."""
+    (ts, turn_idx) order). NOTE: the pandas oracle deliberately does
+    NOT share this function — engine/oracle/features.py carries its own
+    independent implementation so the differential test compares two
+    codebases, not one function with itself (a semantics change here
+    must be mirrored there CONSCIOUSLY, and the parity gate will catch
+    a one-sided edit)."""
     counts: dict[str, int] = {}
     out: list[list[str]] = []
     for tool in tools:

@@ -55,8 +55,11 @@ def oracle_features(
 
     # --- lag/lead + gaps ---
     # epoch seconds as double via exact µs (int64 ns > 2^53 would lose
-    # precision on float conversion; µs matches Spark's cast-to-double)
-    ts_sec = (df["ts"].astype("int64") // 1000) / 1e6
+    # precision on float conversion; µs matches Spark's cast-to-double).
+    # Normalize to ns FIRST: astype('int64') is unit-dependent, and a
+    # datetime64[us] frame (normal from pyarrow reads) would silently
+    # scale all time math 1000x (round-3 review finding).
+    ts_sec = (df["ts"].astype("datetime64[ns]").astype("int64") // 1000) / 1e6
     df["_ts_sec"] = ts_sec
     df["lag_text_len"] = g["txt_len"].shift(1)
     df["lead_text_len"] = g["txt_len"].shift(-1)
@@ -83,12 +86,27 @@ def oracle_features(
     roll_cnt = np.empty(len(df), dtype="int64")
     roll_avg = np.full(len(df), np.nan)
     roll_dst = np.empty(len(df), dtype="int32")
+    # hoisted out of the per-conversation loop: re-running these O(n)
+    # conversions per conversation made the oracle O(rows x convs)
+    ts_all = ts_sec.to_numpy()
+    lens_all = df["txt_len"].to_numpy(dtype="float64", na_value=np.nan)
+    tools_all = df["tool"].to_numpy()
+    frac_window = float(roll_window_s) != int(roll_window_s)
     for _, idx in g.indices.items():
         idx = np.sort(idx)
-        v = ts_sec.to_numpy()[idx]
-        lens = df["txt_len"].to_numpy(dtype="float64", na_value=np.nan)[idx]
-        tools = df["tool"].to_numpy()[idx]
-        lo = np.searchsorted(v, v - roll_window_s, side="left")
+        if frac_window:
+            # mirror the engine's ms-rounded long ordering key for
+            # fractional windows (core.rolling_range) — comparing raw
+            # doubles can flip membership of a row exactly on the
+            # boundary by one float ulp
+            v = np.round(ts_all[idx] * 1000).astype("int64")
+            w = int(round(float(roll_window_s) * 1000))
+        else:
+            v = ts_all[idx]
+            w = roll_window_s
+        lens = lens_all[idx]
+        tools = tools_all[idx]
+        lo = np.searchsorted(v, v - w, side="left")
         hi = np.searchsorted(v, v, side="right")
         for j in range(len(idx)):
             s, e = lo[j], hi[j]
@@ -110,7 +128,10 @@ def oracle_features(
     df["asof_ctx_value"] = np.nan
     df["asof_ctx_label"] = None
     if context is not None:
-        ctx_sorted = context.sort_values(
+        # null event times are never admissible (engine parity —
+        # operators/asof.py); astype(int64) would also map NaT to
+        # int64-min and break searchsorted's sorted precondition
+        ctx_sorted = context.loc[context["event_ts"].notna()].sort_values(
             ["conv_id", "event_ts", "event_idx"], kind="mergesort"
         )
         ctx_by_conv = {cid: sub for cid, sub in ctx_sorted.groupby("conv_id", sort=False)}
@@ -121,10 +142,13 @@ def oracle_features(
             if sub is None:
                 continue
             idx = np.sort(idx)
-            ev = (sub["event_ts"].astype("int64").to_numpy() // 1000) / 1e6
+            ev = (
+                sub["event_ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+                // 1000
+            ) / 1e6
             cv = sub["ctx_value"].to_numpy()
             cl = sub["ctx_label"].to_numpy(dtype=object)
-            pos = np.searchsorted(ev, ts_sec.to_numpy()[idx], side="right") - 1
+            pos = np.searchsorted(ev, ts_all[idx], side="right") - 1
             ok = pos >= 0
             vals[idx[ok]] = cv[pos[ok]]
             labs[idx[ok]] = cl[pos[ok]]
@@ -137,7 +161,7 @@ def oracle_features(
         idx = np.sort(idx)
         counts: dict[str, int] = {}
         for j in idx:
-            t = df["tool"].iat[j]
+            t = tools_all[j]
             if t is not None and not pd.isna(t) and t != "":
                 counts[t] = counts.get(t, 0) + 1
             if counts:

@@ -50,8 +50,17 @@ def assert_frames_match(got: pd.DataFrame, exp: pd.DataFrame, keys=None) -> None
                 el = list(ev) if ev is not None else None
                 assert gl == el, f"{col} row {i}: {gl} != {el} ({got.iloc[i][keys].to_dict()})"
         else:
-            gn = g.map(lambda x: None if (x is None or (isinstance(x, float) and np.isnan(x))) else x)
-            en = e.map(lambda x: None if (x is None or (isinstance(x, float) and np.isnan(x))) else x)
+            # pd.isna covers None, float-NaN AND pd.NaT — NaT != NaT is
+            # True, so unnormalized null timestamps would be reported
+            # as a (false) mismatch (round-3 review finding)
+            def _norm_scalar(x):
+                try:
+                    return None if pd.isna(x) else x
+                except (TypeError, ValueError):
+                    return x  # non-scalar (shouldn't occur here)
+
+            gn = g.map(_norm_scalar)
+            en = e.map(_norm_scalar)
             neq = [
                 i for i, (a, b) in enumerate(zip(gn, en)) if a != b and not (a is None and b is None)
             ]
@@ -66,9 +75,15 @@ def _is_numericish(s: pd.Series) -> bool:
     if pd.api.types.is_numeric_dtype(s):
         return True
     if s.dtype == object:
+        # ALL non-null values must be numeric, not just a head sample:
+        # a mixed column classified numeric would have its non-numeric
+        # values coerced to NaN on BOTH sides and silently compare
+        # equal — a parity gate that can pass on mismatching data
+        # (round-3 review finding)
         non_null = s.dropna()
         return len(non_null) > 0 and all(
-            isinstance(x, (int, float, np.integer, np.floating)) for x in non_null.head(50)
+            isinstance(x, (int, float, np.integer, np.floating))
+            for x in non_null
         )
     return False
 
