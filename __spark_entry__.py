@@ -38,7 +38,26 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from engine.doc_queries import QUERIES as DOC_QUERIES
 
+    # Ordering policy (round 4+): the driver's correctness window records
+    # the FIRST ~50 entries of this dict, but the gate has 60 queries, so
+    # 10 always fall off the end. We rotate so the keys that lacked a
+    # driver row in the previous round's CORRECTNESS_r{N}.json come FIRST
+    # (round 3's uncovered tail: variant_props + 9 others, below); the
+    # tail is always made of queries green in the immediately preceding
+    # round, so no query goes two consecutive rounds without a driver row.
     return {
+        # --- round-3 driver-uncovered block (must be inside the window) ---
+        "variant_props": Q.q_variant_props,
+        "topk_event_types": Q.q_topk_event_types,
+        "session_assembly": Q.q_session_assembly,
+        "dedup_first": Q.q_dedup_first,
+        "argmax_value": Q.q_argmax_value,
+        "bin_users": Q.q_bin_users,
+        "json_props": Q.q_json_props,
+        "hex_format": Q.q_hex_format,
+        "luminance": Q.q_luminance,
+        "quarantine": Q.q_quarantine,
+        # --- rest: all green in CORRECTNESS_r03 ---
         **DOC_QUERIES,
         "pricing_summary": Q.q_pricing_summary,
         "top_customers": Q.q_top_customers,
@@ -68,16 +87,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": Q.q_region_revenue,
         "value_percentiles": Q.q_value_percentiles,
         "embed_centroid": Q.q_embed_centroid,
-        "topk_event_types": Q.q_topk_event_types,
-        "session_assembly": Q.q_session_assembly,
-        "dedup_first": Q.q_dedup_first,
-        "argmax_value": Q.q_argmax_value,
-        "bin_users": Q.q_bin_users,
-        "json_props": Q.q_json_props,
-        "variant_props": Q.q_variant_props,
-        "hex_format": Q.q_hex_format,
-        "luminance": Q.q_luminance,
-        "quarantine": Q.q_quarantine,
     }
 
 
@@ -85,6 +94,17 @@ def oracle_sql() -> dict[str, str]:
     from engine.doc_queries import ORACLES as DOC_ORACLES
 
     return {
+        # mirror queries() order: round-3 uncovered block first
+        "variant_props": Q.SQL_VARIANT_PROPS,
+        "topk_event_types": Q.SQL_TOPK_EVENT_TYPES,
+        "session_assembly": Q.SQL_SESSION_ASSEMBLY,
+        "dedup_first": Q.SQL_DEDUP_FIRST,
+        "argmax_value": Q.SQL_ARGMAX_VALUE,
+        "bin_users": Q.SQL_BIN_USERS,
+        "json_props": Q.SQL_JSON_PROPS,
+        "hex_format": Q.SQL_HEX_FORMAT,
+        "luminance": Q.SQL_LUMINANCE,
+        "quarantine": Q.SQL_QUARANTINE,
         **DOC_ORACLES,
         "pricing_summary": Q.SQL_PRICING,
         "top_customers": Q.SQL_TOP_CUSTOMERS,
@@ -111,14 +131,4 @@ def oracle_sql() -> dict[str, str]:
         "region_revenue": Q.SQL_REGION_REVENUE,
         "value_percentiles": Q.SQL_VALUE_PERCENTILES,
         "embed_centroid": Q.SQL_EMBED_CENTROID,
-        "topk_event_types": Q.SQL_TOPK_EVENT_TYPES,
-        "session_assembly": Q.SQL_SESSION_ASSEMBLY,
-        "dedup_first": Q.SQL_DEDUP_FIRST,
-        "argmax_value": Q.SQL_ARGMAX_VALUE,
-        "bin_users": Q.SQL_BIN_USERS,
-        "json_props": Q.SQL_JSON_PROPS,
-        "variant_props": Q.SQL_VARIANT_PROPS,
-        "hex_format": Q.SQL_HEX_FORMAT,
-        "luminance": Q.SQL_LUMINANCE,
-        "quarantine": Q.SQL_QUARANTINE,
     }

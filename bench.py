@@ -140,7 +140,10 @@ def _flagship_input(spark, n_turns_target: int, tmpdir: str):
         ).parquet(cpath)
     t = spark.read.parquet(tpath)
     c = spark.read.parquet(cpath)
-    return t, c
+    # paths returned too so other sessions (the 8-core leg) read the
+    # SAME dataset instead of re-deriving the naming formula — a sizing
+    # or naming change here can then never silently desynchronize them
+    return t, c, tpath, cpath
 
 
 def run_bench(sf_dir: str, cpus: int, only: set[str] | None, n_turns: int) -> dict:
@@ -174,7 +177,7 @@ def run_bench(sf_dir: str, cpus: int, only: set[str] | None, n_turns: int) -> di
 
     tmpdir = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/spark_graft_bench")
     os.makedirs(tmpdir, exist_ok=True)
-    t, c = _flagship_input(spark, n_turns, tmpdir)
+    t, c, tpath, cpath = _flagship_input(spark, n_turns, tmpdir)
     n_rows = t.count()
     # production configuration: the tool vocabulary is a platform
     # catalog stat, passed explicitly — the feature plan then contains
@@ -216,12 +219,8 @@ def run_bench(sf_dir: str, cpus: int, only: set[str] | None, n_turns: int) -> di
     spark.stop()
     spark8 = build_session(app_name="bench-local[8]", master="local[8]")
     spark8.sparkContext.setLogLevel("ERROR")
-    t8 = spark8.read.parquet(
-        os.path.join(tmpdir, f"transcripts_{max(200, n_turns // 40)}.parquet")
-    )
-    c8 = spark8.read.parquet(
-        os.path.join(tmpdir, f"context_{max(200, n_turns // 40)}.parquet")
-    )
+    t8 = spark8.read.parquet(tpath)
+    c8 = spark8.read.parquet(cpath)
     wf8, _, _ = extract_features(spark8, t8.limit(20000), c8.limit(5000), vocab=vocab)
     wf8.write.format("noop").mode("overwrite").save()
     f8, _, _ = extract_features(spark8, t8, c8, vocab=vocab)

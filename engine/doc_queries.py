@@ -817,40 +817,63 @@ FROM embeddings GROUP BY label
 # ---------------------------------------------------------------------------
 
 def q_multimodal_meta(spark, sf_dir):
-    """Binary-column plumbing: synthesize payloads, mapInPandas
-    decode/feature-extract (stubbed codec, real plumbing)."""
+    """Binary-column plumbing: synthesize structurally valid
+    PNG/JPEG/WAV/MP4 payloads (codegen expressions), then mapInPandas
+    header decode — REAL struct parsing for all three modalities, with
+    a self-describing `decoder` column and per-row error isolation."""
     from engine.multimodal import extract_media_meta, synthesize_media
 
     d = _heavy(spark, sf_dir, "documents")
     return extract_media_meta(synthesize_media(d))
 
 
+# Mirrors the deterministic synthesis rules of engine/multimodal.py:
+# kind = doc_id % 3 (image/audio/video); corrupt slots at doc_id % 30
+# in (0, 10, 20) carry raw text bytes; WAV n_bytes = 44-byte header +
+# n_frames * block_align real zero sample bytes; MP4 is always the
+# 124-byte ftyp+moov>trak>tkhd skeleton.
 SQL_MULTIMODAL_META = """
 WITH m AS (
   SELECT doc_id,
-         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-                                      WHEN 1 THEN 'audio'
-                                      ELSE 'video' END AS kind,
-         doc_id % 30 = 0 AS corrupt,   -- raw bytes, no image magic
+         CAST(doc_id % 3 AS INT) AS k,
+         doc_id % 30 IN (0, 10, 20) AS corrupt,  -- raw bytes, no magic
          strlen(text) AS n
   FROM documents
+), p AS (
+  SELECT doc_id, k, corrupt, n,
+         CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+         ((n % 200) + 1) * (((doc_id % 2) + 1) * 2) AS wav_data
+  FROM m
 )
 SELECT doc_id, kind,
-       CAST(CASE WHEN kind = 'image' AND NOT corrupt THEN
-                 CASE WHEN doc_id % 6 = 0 THEN 45 ELSE 23 END  -- PNG | JPEG
-            ELSE n END AS INT) AS n_bytes,
-       CAST(CASE WHEN kind = 'image' AND corrupt THEN NULL
-                 WHEN kind IN ('image', 'video') THEN (n % 640) + 1 END AS INT) AS width,
-       CAST(CASE WHEN kind = 'image' AND corrupt THEN NULL
-                 WHEN kind IN ('image', 'video') THEN (n % 480) + 1 END AS INT) AS height,
-       CAST(CASE WHEN kind = 'image' AND corrupt THEN NULL
-                 WHEN kind = 'image' THEN 1
-                 WHEN kind = 'audio' THEN n * 4
+       CAST(CASE WHEN corrupt THEN n
+                 WHEN k = 0 THEN CASE WHEN doc_id % 6 = 0 THEN 45
+                                      ELSE 23 END   -- PNG | JPEG
+                 WHEN k = 1 THEN 44 + wav_data      -- WAV hdr + data
+                 ELSE 124 END AS INT) AS n_bytes,   -- MP4 skeleton
+       CAST(CASE WHEN NOT corrupt AND k IN (0, 2)
+                 THEN (n % 640) + 1 END AS INT) AS width,
+       CAST(CASE WHEN NOT corrupt AND k IN (0, 2)
+                 THEN (n % 480) + 1 END AS INT) AS height,
+       CAST(CASE WHEN corrupt THEN NULL
+                 WHEN k = 0 THEN 1
+                 WHEN k = 1 THEN (n % 200) + 1
                  ELSE (n // 100) + 1 END AS INT) AS n_frames,
-       NOT (kind = 'image' AND corrupt) AS decode_ok,
-       CASE WHEN kind = 'image' AND corrupt
-            THEN 'UNSUPPORTED_IMAGE_FORMAT' END AS error
-FROM m
+       CAST(CASE WHEN NOT corrupt AND k = 1
+                 THEN 8000 + (doc_id % 4) * 4000 END AS INT) AS sample_rate,
+       CAST(CASE WHEN NOT corrupt AND k = 1
+                 THEN (doc_id % 2) + 1 END AS INT) AS channels,
+       NOT corrupt AS decode_ok,
+       CASE WHEN corrupt THEN NULL
+            WHEN k = 0 THEN CASE WHEN doc_id % 6 = 0 THEN 'png'
+                                 ELSE 'jpeg' END
+            WHEN k = 1 THEN 'wav' ELSE 'mp4' END AS decoder,
+       CASE WHEN corrupt THEN
+            CASE k WHEN 0 THEN 'UNSUPPORTED_IMAGE_FORMAT'
+                   WHEN 1 THEN 'UNSUPPORTED_AUDIO_FORMAT'
+                   ELSE 'UNSUPPORTED_VIDEO_FORMAT' END END AS error
+FROM p
 """
 
 

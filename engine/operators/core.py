@@ -148,7 +148,13 @@ def rolling_range(
         bound, okey = int(window_s), order
     else:
         bound = int(round(float(window_s) * 1000))
-        okey = F.round(order * 1000).cast("long")
+        # floor(x*1000 + 0.5): ONE explicit rounding rule shared with the
+        # oracle mirror (engine/oracle/features.py). F.round (HALF_UP) vs
+        # np.round (half-to-even) disagree on exact half-millisecond
+        # boundaries, which would flip window membership between engine
+        # and oracle. Epoch seconds are nonnegative, so floor(x+0.5)
+        # == HALF_UP here.
+        okey = F.floor(order * 1000 + F.lit(0.5)).cast("long")
     wr = (
         Window.partitionBy(entity)
         .orderBy(okey)

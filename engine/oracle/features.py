@@ -98,8 +98,11 @@ def oracle_features(
             # mirror the engine's ms-rounded long ordering key for
             # fractional windows (core.rolling_range) — comparing raw
             # doubles can flip membership of a row exactly on the
-            # boundary by one float ulp
-            v = np.round(ts_all[idx] * 1000).astype("int64")
+            # boundary by one float ulp. Same explicit rule on both
+            # sides: floor(x*1000 + 0.5) (np.round is half-to-even,
+            # Spark's F.round is HALF_UP — they disagree at exact half
+            # milliseconds, so neither is used directly)
+            v = np.floor(ts_all[idx] * 1000 + 0.5).astype("int64")
             w = int(round(float(roll_window_s) * 1000))
         else:
             v = ts_all[idx]

@@ -45,7 +45,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 class TableIO:
     def __init__(self, root: str):
         self.root = root
-        self._seq_cache: dict[str, int] = {}
 
     # -- paths ------------------------------------------------------------
     def _data_dir(self, table: str, run_id: str) -> str:
@@ -101,19 +100,41 @@ class TableIO:
         }
 
     def _next_seq(self, table: str) -> int:
-        # max-seq cache keeps a long-running per-epoch streaming sink's
-        # commits O(1) in manifest I/O (scan once, then bump locally;
-        # correctness of the scan fallback is unaffected for other
-        # writers because this TableIO instance owns its run_ids)
-        cached = self._seq_cache.get(table)
-        if cached is None:
-            seqs = [
-                m.get("commit_seq", 0)
-                for m in self._load_manifests(table).values()
-            ]
-            cached = max(seqs) if seqs else 0
-        nxt = cached + 1
-        self._seq_cache[table] = nxt
+        """Monotonic commit sequence, safe across TableIO INSTANCES and
+        PROCESSES: the counter lives in a `_seq` file inside the table's
+        manifest dir (no .json suffix, so committed_runs never sees it),
+        bumped under an exclusive advisory flock. Two concurrent writers
+        — e.g. a streaming sink plus a `jobs` CLI --compact/--expire
+        maintenance run — therefore can never stamp duplicate
+        commit_seq values, which would silently demote _commit_order to
+        run_id lexicographic tie-breaking. First writer seeds the
+        counter from the max committed seq (legacy tables). Still O(1)
+        per commit after seeding (one small file read+write), which the
+        per-epoch streaming sink needs. Gaps (a seq taken by an append
+        that later failed before manifest commit) are harmless: ordering
+        only needs monotonicity, not density."""
+        import fcntl
+
+        os.makedirs(self._manifest_dir(table), exist_ok=True)
+        seq_path = os.path.join(self._manifest_dir(table), "_seq")
+        with open(seq_path, "a+") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            fh.seek(0)
+            raw = fh.read().strip()
+            if raw:
+                cur = int(raw)
+            else:
+                seqs = [
+                    m.get("commit_seq", 0)
+                    for m in self._load_manifests(table).values()
+                ]
+                cur = max(seqs) if seqs else 0
+            nxt = cur + 1
+            fh.seek(0)
+            fh.truncate()
+            fh.write(str(nxt))
+            fh.flush()
+            os.fsync(fh.fileno())
         return nxt
 
     def append(
@@ -444,7 +465,8 @@ class TableIO:
 
         flat: list[str] = []
         partitioned: dict[str, list[str]] = {}
-        all_files: list[str] = []
+        flat_all: list[str] = []
+        partitioned_all: dict[str, list[str]] = {}
         for run_id in included:
             if run_id in replaced:
                 continue
@@ -455,35 +477,49 @@ class TableIO:
                     f"expire_replaced(): its data files are gone, so this "
                     f"(time-travel) read can no longer be served"
                 )
-            all_files += [e["file"] for e in m["files"]]
+            every = [e["file"] for e in m["files"]]
             fs = [e["file"] for e in m["files"] if keep(e)]
-            if not fs:
-                continue
             if m.get("partition_by"):
                 # hive-partitioned snapshot: explicit file lists drop
                 # the partition columns unless read under their basePath
-                partitioned[run_id] = fs
+                partitioned_all[run_id] = every
+                if fs:
+                    partitioned[run_id] = fs
             else:
-                flat += fs
+                flat_all += every
+                if fs:
+                    flat += fs
+
+        def assemble(
+            flat_fs: list[str], part_fs: dict[str, list[str]]
+        ) -> DataFrame:
+            # schema evolution: snapshots may have gained columns over
+            # time — merge file schemas within the scan and align by
+            # name across snapshots, nulling columns absent in older
+            # data (Iceberg add-column semantics)
+            dfs = []
+            if flat_fs:
+                dfs.append(
+                    spark.read.option("mergeSchema", "true").parquet(*flat_fs)
+                )
+            for run_id, fs in part_fs.items():
+                dfs.append(
+                    spark.read.option("mergeSchema", "true")
+                    .option("basePath", self._data_dir(table, run_id))
+                    .parquet(*fs)
+                )
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            return out
+
         if not flat and not partitioned:
-            if ts_range is not None and all_files:
-                # every file pruned: empty result with the table schema
-                return spark.read.parquet(all_files[0]).filter(F.lit(False))
+            if ts_range is not None and (flat_all or partitioned_all):
+                # every file pruned: empty result, but built through the
+                # SAME read path as the non-empty case (mergeSchema +
+                # basePath per snapshot + unionByName) so hive partition
+                # columns and schema-evolved columns survive into the
+                # empty frame — downstream selects still resolve
+                return assemble(flat_all, partitioned_all).filter(F.lit(False))
             raise FileNotFoundError(f"no committed snapshots for table {table!r}")
-        # schema evolution: snapshots may have gained columns over time —
-        # merge file schemas within the scan and align by name across
-        # snapshots, nulling columns absent in older data (Iceberg
-        # add-column semantics)
-        dfs = []
-        if flat:
-            dfs.append(spark.read.option("mergeSchema", "true").parquet(*flat))
-        for run_id, fs in partitioned.items():
-            dfs.append(
-                spark.read.option("mergeSchema", "true")
-                .option("basePath", self._data_dir(table, run_id))
-                .parquet(*fs)
-            )
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d, allowMissingColumns=True)
-        return out
+        return assemble(flat, partitioned)

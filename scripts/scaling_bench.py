@@ -89,9 +89,7 @@ def main() -> None:
     spark = build_session(master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(args.tmp, exist_ok=True)
-    t, c = _flagship_input(spark, args.turns, args.tmp)
-    tpath = t.inputFiles()[0].rsplit("/", 1)[0]
-    cpath = c.inputFiles()[0].rsplit("/", 1)[0]
+    _t, _c, tpath, cpath = _flagship_input(spark, args.turns, args.tmp)
     spark.stop()
 
     # Alternate configs across rounds so a co-tenant steal window can't

@@ -1,16 +1,24 @@
-"""Multimodal binary columns: REAL PNG/JPEG header decode (pure-Python
-struct parsing of payloads synthesized as structurally valid headers),
-magic-byte format gate, per-row error isolation, batch shape."""
+"""Multimodal binary columns: REAL PNG/JPEG/WAV/MP4 header decode
+(pure-Python struct parsing of payloads synthesized as structurally
+valid headers), magic-byte format gates per modality, self-describing
+`decoder` provenance column, per-row error isolation, batch shape."""
 
 from __future__ import annotations
 
+import struct
 import zlib
+
+import pytest
 
 from engine.multimodal import (
     JPEG_N_BYTES,
     MEDIA_META_SCHEMA,
+    MP4_N_BYTES,
     PNG_N_BYTES,
+    WAV_HEADER_BYTES,
     _decode_image,
+    _decode_mp4,
+    _decode_wav,
     extract_media_meta,
     synthesize_media,
 )
@@ -32,13 +40,27 @@ def test_media_meta_roundtrip(spark):
     assert rows[6]["n_bytes"] == PNG_N_BYTES
     assert rows[6]["width"] == len("hello world") % 640 + 1
     assert rows[6]["height"] == len("hello world") % 480 + 1
-    assert rows[6]["n_frames"] == 1
+    assert rows[6]["n_frames"] == 1 and rows[6]["decoder"] == "png"
     # JPEG row (doc_id%6==3): dims parsed from the SOF0 segment
     assert rows[9]["n_bytes"] == JPEG_N_BYTES
     assert rows[9]["width"] == len("jpeg carrier row") % 640 + 1
     assert rows[9]["height"] == len("jpeg carrier row") % 480 + 1
-    # audio gets frames only
-    assert rows[1]["width"] is None and rows[1]["n_frames"] == 3 * 4
+    assert rows[9]["decoder"] == "jpeg"
+    # audio (doc_id 1): REAL WAV fmt/data parse — frames = len%200+1,
+    # channels = doc_id%2+1, rate = 8000 + doc_id%4*4000; n_bytes is
+    # header + the actual zero sample bytes
+    assert rows[1]["decoder"] == "wav" and rows[1]["width"] is None
+    assert rows[1]["n_frames"] == len("xyz") % 200 + 1
+    assert rows[1]["channels"] == 2 and rows[1]["sample_rate"] == 12000
+    assert rows[1]["n_bytes"] == WAV_HEADER_BYTES + rows[1]["n_frames"] * 2 * 2
+    # video (doc_id 2): REAL MP4 tkhd parse — 16.16 dims + duration
+    assert rows[2]["decoder"] == "mp4"
+    n2 = len("longer text value here")
+    assert rows[2]["width"] == n2 % 640 + 1
+    assert rows[2]["height"] == n2 % 480 + 1
+    assert rows[2]["n_frames"] == n2 // 100 + 1
+    assert rows[2]["n_bytes"] == MP4_N_BYTES
+    assert rows[2]["sample_rate"] is None and rows[2]["channels"] is None
     # non-ASCII text: dimensions derive from BYTE length (oracle's
     # strlen), not character length
     assert rows[12]["width"] == len("café…".encode()) % 640 + 1
@@ -63,10 +85,48 @@ def test_synthesized_png_is_structurally_valid(spark):
     assert payload.endswith(bytes.fromhex("49454e44ae426082"))
 
 
+def test_synthesized_wav_is_structurally_valid(spark):
+    """The codegen-built WAV passes Python's own stdlib `wave` reader —
+    fully independent of the engine's parser: RIFF sizes consistent,
+    fmt fields as declared, data bytes actually present."""
+    import io
+    import wave
+
+    docs = spark.createDataFrame([(7, "abcdefgh")], "doc_id long, text string")
+    payload = bytes(synthesize_media(docs).collect()[0]["payload"])
+    with wave.open(io.BytesIO(payload)) as wf:
+        assert wf.getnchannels() == 7 % 2 + 1  # 2
+        assert wf.getframerate() == 8000 + (7 % 4) * 4000  # 20000
+        assert wf.getsampwidth() == 2
+        assert wf.getnframes() == len("abcdefgh") % 200 + 1
+        frames = wf.readframes(wf.getnframes())
+        assert frames == bytes(len(frames))  # real zero samples, present
+    # RIFF size field == file size - 8
+    assert int.from_bytes(payload[4:8], "little") == len(payload) - 8
+
+
+def test_synthesized_mp4_box_sizes_consistent(spark):
+    """Box walk of the codegen-built MP4 in plain Python: every box
+    size lands exactly on the next box / end of payload."""
+    docs = spark.createDataFrame([(5, "x" * 250)], "doc_id long, text string")
+    payload = bytes(synthesize_media(docs).collect()[0]["payload"])
+    assert payload[4:8] == b"ftyp"
+    i, tops = 0, []
+    while i < len(payload):
+        sz = int.from_bytes(payload[i : i + 4], "big")
+        tops.append(payload[i + 4 : i + 8])
+        i += sz
+    assert i == len(payload) and tops == [b"ftyp", b"moov"]
+    w, h, dur = _decode_mp4(payload)
+    assert (w, h, dur) == (250 % 640 + 1, 250 % 480 + 1, 250 // 100 + 1)
+
+
 def test_magic_byte_gate_and_error_isolation(spark):
-    # planted corrupt slot: doc_id % 30 == 0 carries raw text bytes
+    # planted corrupt slots: doc_id % 30 in (0, 10, 20) carry raw text
+    # bytes — one corrupt slot per modality, each with a typed error
     docs = spark.createDataFrame(
-        [(30, "not an image at all"), (36, "fine png")],
+        [(30, "not an image at all"), (36, "fine png"),
+         (10, "not audio"), (20, "not video")],
         "doc_id long, text string",
     )
     rows = {
@@ -76,7 +136,11 @@ def test_magic_byte_gate_and_error_isolation(spark):
     bad, good = rows[30], rows[36]
     assert not bad["decode_ok"] and bad["error"] == "UNSUPPORTED_IMAGE_FORMAT"
     assert bad["width"] is None and bad["n_bytes"] == len("not an image at all")
+    assert bad["decoder"] is None
     assert good["decode_ok"] and good["error"] is None and good["width"] is not None
+    assert rows[10]["error"] == "UNSUPPORTED_AUDIO_FORMAT"
+    assert rows[20]["error"] == "UNSUPPORTED_VIDEO_FORMAT"
+    assert not rows[10]["decode_ok"] and not rows[20]["decode_ok"]
 
 
 def test_media_error_isolation(spark):
@@ -95,8 +159,6 @@ def test_media_error_isolation(spark):
 def test_decode_image_corrupted_crc_and_truncation():
     """Unit-level parser gates: bad CRC, truncated IHDR, JPEG without
     SOF all raise typed errors (→ error rows, never partition failures)."""
-    import pytest
-
     png_sig = bytes.fromhex("89504e470d0a1a0a")
     ihdr = b"IHDR" + (5).to_bytes(4, "big") + (7).to_bytes(4, "big") + bytes(5)
     good = (
@@ -104,7 +166,7 @@ def test_decode_image_corrupted_crc_and_truncation():
         + (zlib.crc32(ihdr) & 0xFFFFFFFF).to_bytes(4, "big")
         + bytes.fromhex("0000000049454e44ae426082")
     )
-    assert _decode_image(good) == (5, 7)
+    assert _decode_image(good) == (5, 7, "png")
     bad_crc = bytearray(good)
     bad_crc[-13] ^= 0xFF  # flip a CRC byte
     with pytest.raises(ValueError, match="PNG_BAD_CRC"):
@@ -113,3 +175,67 @@ def test_decode_image_corrupted_crc_and_truncation():
         _decode_image(png_sig + b"\x00\x00")
     with pytest.raises(ValueError, match="JPEG_NO_SOF"):
         _decode_image(b"\xff\xd8\xff\xe0\x00\x02")
+
+
+def test_decode_image_jpeg_fill_bytes_and_standalone_markers():
+    """Real-world JPEG shapes the synthesizer never emits: 0xFF fill
+    bytes before a marker, and standalone RST/TEM markers (no length
+    field) — both must be walked over, not mis-read as segments."""
+    sof = b"\xff\xc0" + b"\x00\x11\x08" + (7).to_bytes(2, "big") + (5).to_bytes(2, "big")
+    # fill bytes between segments + a standalone RST0 + TEM marker
+    jpeg = b"\xff\xd8" + b"\xff\xff\xff\xe0\x00\x04ab" + b"\xff\xd0" + b"\xff\x01" + sof
+    assert _decode_image(jpeg) == (5, 7, "jpeg")
+    # standalone EOI before any SOF terminates the walk
+    with pytest.raises(ValueError, match="JPEG_NO_SOF"):
+        _decode_image(b"\xff\xd8\xff\xd9")
+
+
+def test_decode_wav_gates():
+    """WAV parser error paths: wrong magic, truncated fmt, data chunk
+    claiming more sample bytes than the payload actually carries (a
+    fabricated frame count must never be reported), missing chunks."""
+    with pytest.raises(ValueError, match="UNSUPPORTED_AUDIO_FORMAT"):
+        _decode_wav(b"not riff data at all")
+    with pytest.raises(ValueError, match="UNSUPPORTED_AUDIO_FORMAT"):
+        _decode_wav(b"RIFF\x00\x00\x00\x00XXXX")  # RIFF but not WAVE
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)
+    )
+    head = b"RIFF" + (100).to_bytes(4, "little") + b"WAVE"
+    ok = head + fmt + b"data" + (8).to_bytes(4, "little") + bytes(8)
+    assert _decode_wav(ok) == (2, 16000, 2)
+    # data chunk claims 8 bytes but payload is cut short
+    with pytest.raises(ValueError, match="WAV_TRUNCATED"):
+        _decode_wav(head + fmt + b"data" + (8).to_bytes(4, "little") + bytes(3))
+    # truncated fmt chunk
+    with pytest.raises(ValueError, match="WAV_TRUNCATED"):
+        _decode_wav(head + b"fmt " + (16).to_bytes(4, "little") + bytes(4))
+    # data before fmt: block_align unknown
+    with pytest.raises(ValueError, match="WAV_NO_FMT"):
+        _decode_wav(head + b"data" + (0).to_bytes(4, "little"))
+    with pytest.raises(ValueError, match="WAV_NO_DATA"):
+        _decode_wav(head + fmt)
+
+
+def test_decode_mp4_gates():
+    """MP4 parser error paths: wrong magic, box size overrunning the
+    payload, missing moov/trak/tkhd, truncated tkhd body."""
+    with pytest.raises(ValueError, match="UNSUPPORTED_VIDEO_FORMAT"):
+        _decode_mp4(b"0123456789abcdef")
+    ftyp = (16).to_bytes(4, "big") + b"ftypisom" + bytes(4)
+    with pytest.raises(ValueError, match="MP4_NO_MOOV"):
+        _decode_mp4(ftyp)
+    # box whose declared size overruns the payload
+    with pytest.raises(ValueError, match="MP4_TRUNCATED"):
+        _decode_mp4(ftyp + (64).to_bytes(4, "big") + b"moov" + bytes(8))
+    # moov without trak
+    moov_empty = (8).to_bytes(4, "big") + b"moov"
+    with pytest.raises(ValueError, match="MP4_NO_TRAK"):
+        _decode_mp4(ftyp + moov_empty)
+    # tkhd body too short for version-0 layout
+    tkhd_short = (12).to_bytes(4, "big") + b"tkhd" + bytes(4)
+    trak = (8 + len(tkhd_short)).to_bytes(4, "big") + b"trak" + tkhd_short
+    moov = (8 + len(trak)).to_bytes(4, "big") + b"moov" + trak
+    with pytest.raises(ValueError, match="MP4_TRUNCATED"):
+        _decode_mp4(ftyp + moov)
