@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_format": Q.q_hex_format,
         "luminance": Q.q_luminance,
         "quarantine": Q.q_quarantine,
+        # --- new in round 4 (also need a driver row) ---
+        "topk_auto_salted": Q.q_topk_auto_salted,
         # --- rest: all green in CORRECTNESS_r03 ---
         **DOC_QUERIES,
         "pricing_summary": Q.q_pricing_summary,
@@ -105,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_format": Q.SQL_HEX_FORMAT,
         "luminance": Q.SQL_LUMINANCE,
         "quarantine": Q.SQL_QUARANTINE,
+        "topk_auto_salted": Q.SQL_TOPK_AUTO_SALTED,
         **DOC_ORACLES,
         "pricing_summary": Q.SQL_PRICING,
         "top_customers": Q.SQL_TOP_CUSTOMERS,

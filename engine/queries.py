@@ -882,6 +882,49 @@ WHERE rnk <= 3
 """
 
 
+def q_topk_auto_salted(spark, sf_dir):
+    """Auto-skew dispatch (skew.auto_topk_by_count): plant a
+    pathologically hot user deterministically — every even event_id is
+    cloned to user_id -1, so user -1 holds ~33% of all rows — then let
+    the sampled detector route it: the hot user's stage-1 partials fan
+    out over salt buckets, cold users keep the plain single-group
+    shape, all in ONE conditional-salt plan. Output is identical to
+    the unsalted operator by construction (the oracle is the plain
+    SQL top-k over the same skewed input), so the driver row checks
+    BOTH the dispatch plumbing and the salted aggregation's
+    correctness. sample_frac=0.5 so the detector reliably fires at
+    sf0.01 scale; production would use ~0.01 (skew.hot_entities)."""
+    from engine.operators.skew import auto_topk_by_count
+
+    ev = _t(spark, sf_dir, "events")
+    skewed = ev.unionByName(
+        ev.filter(F.col("event_id") % 2 == 0).withColumn(
+            "user_id", F.lit(-1).cast("long")
+        )
+    )
+    return auto_topk_by_count(
+        skewed, "user_id", "event_type", 3, idx_col="event_id",
+        sample_frac=0.5,
+    )
+
+
+SQL_TOPK_AUTO_SALTED = """
+WITH s AS (
+  SELECT user_id, event_type FROM events
+  UNION ALL
+  SELECT -1 AS user_id, event_type FROM events WHERE event_id % 2 = 0
+), c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM s GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, cnt,
+       CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY cnt DESC, event_type ASC) AS rnk FROM c)
+WHERE rnk <= 3
+"""
+
+
 def q_session_assembly(spark, sf_dir):
     """Ordered grouping + stable ordered concat (W1/W2/W3): per
     (user, session): size, span, event-type path in (ts, event_id)

@@ -154,6 +154,47 @@ def test_multimodal_is_one_python_stage(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def _exchanges(plan: str) -> list[tuple[str, str]]:
+    """(input_columns, partitioning_args) per Exchange node in a
+    formatted plan's details section."""
+    return [
+        (m.group(1), m.group(2))
+        for m in re.finditer(
+            r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]"
+            r"\s*\nArguments: ([^\n]*)",
+            plan,
+        )
+    ]
+
+
+@pytest.mark.parametrize("name", ["dedup_near_pairs", "dedup_simhash_pairs"])
+def test_dedup_pair_join_plan_shape(spark, name):
+    """The dedup family's candidate generation must stay BUCKETED at
+    any scale (round-3 verdict pin request): the banded/chunked
+    self-join may never plan a BroadcastNestedLoopJoin or
+    CartesianProduct (all-pairs), the scan must prune to doc_id+text
+    only, and every HASH-partitioned exchange (a join/agg shuffle)
+    must carry only ids and hashes — document text may move only in
+    the adaptive round-robin scan-spread repartition (sandbox-only:
+    single-file inputs; at real scale the scan has many splits and
+    that repartition is skipped, engine/doc_queries._heavy)."""
+    from engine.doc_queries import QUERIES
+
+    plan = _formatted(spark, QUERIES[name](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # column pruning at the source
+    for rs in re.findall(r"ReadSchema: ([^\n]*)", plan):
+        assert "lang" not in rs and "source" not in rs, rs
+    exchanges = _exchanges(plan)
+    assert exchanges, "expected Exchange detail nodes in the plan"
+    for cols, args in exchanges:
+        if "hashpartitioning" in args:
+            assert "text#" not in cols, (
+                f"hash shuffle carries raw text: [{cols}] via {args}"
+            )
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
     """Disk bucketing: both sides bucketed by the join key into the
     same bucket count join WITHOUT an Exchange — the co-located-join

@@ -85,6 +85,43 @@ def test_kernel_asof_hot_entity_chunked(spark, transcripts_df, context_df):
     assert n_chunks > 1
 
 
+def test_auto_topk_dispatch_differential(spark, transcripts_df):
+    """auto_topk_by_count: (a) on the zipf fixture (planted hot
+    conversation, generous sample so the detector fires) the salted
+    branch's output is bit-identical to the plain operator; (b) on a
+    uniform input where nothing is hot, the chosen plan is the plain
+    one — no salt column anywhere in it."""
+    from engine.operators.skew import auto_topk_by_count
+
+    src = transcripts_df.filter(
+        F.col("tool").isNotNull() & (F.col("tool") != "")
+    )
+    base = topk_by_count(src, "conv_id", "tool", 3)
+    auto = auto_topk_by_count(
+        src, "conv_id", "tool", 3, idx_col="turn_idx",
+        threshold_frac=0.01, sample_frac=0.5,
+    )
+    # the fixture's planted hot conversation must trigger the salted
+    # branch (same detector config test_hot_entity_detector pins)
+    assert "_salt" in auto._jdf.queryExecution().optimizedPlan().toString()
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, auto.collect()))
+    assert a == b and len(a) > 0
+
+    uniform = spark.createDataFrame(
+        [(f"c{i % 40}", f"t{i % 5}", i) for i in range(2000)],
+        "conv_id string, tool string, turn_idx int",
+    )
+    plain = auto_topk_by_count(
+        uniform, "conv_id", "tool", 3, idx_col="turn_idx",
+        threshold_frac=0.1, sample_frac=0.5,
+    )
+    assert "_salt" not in plain._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, topk_by_count(uniform, "conv_id", "tool", 3).collect())
+    )
+
+
 def test_hot_entities_small_sample_returns_nothing(spark):
     """With too few sampled rows to distinguish hot from noise, the
     detector must return an EMPTY set — the old max(1, ...) floor
