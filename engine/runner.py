@@ -27,6 +27,106 @@ def batch_filter(entity_col: str, n_batches: int, batch: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(entity_col)), F.lit(n_batches)) == batch
 
 
+def run_incremental(
+    spark: SparkSession,
+    io: TableIO,
+    job_id: str,
+    source_table: str = "turns",
+    context: DataFrame | None = None,
+    features_table: str = "features",
+    errors_table: str = "errors",
+    **pipeline_kwargs,
+) -> dict:
+    """Incremental feature extraction over NEW source snapshots only
+    (round-3 verdict item #8): read the rows of `source_table`
+    snapshots committed since the last processed watermark
+    (TableIO.read_since — the Iceberg incremental-append-scan analog),
+    run the pipeline on just those rows, and append one features +
+    errors snapshot for the increment. Each features manifest records
+    the (lo, hi] commit_seq range it covered in `source_seq_lo/hi`, so
+    the watermark is recovered from the features table itself — no
+    side-channel state, and a crashed run resumes exactly (the
+    deterministic run_id makes the replay an idempotent no-op).
+
+    Contract: source snapshots must be CONVERSATION-ALIGNED — a
+    conversation's turns never straddle a snapshot boundary that a
+    later increment would cross (the realistic transcript-ingest shape:
+    a conversation is committed after it ends). Under that contract a
+    two-phase incremental run is row-identical to one batch run,
+    because every pipeline feature is a within-conversation
+    computation; the alignment is the caller's ingest discipline, the
+    same way Iceberg incremental consumers assume append-only commits.
+
+    Scale shape: cost per invocation is O(new rows), not O(table) —
+    the manifest listing is the only whole-table metadata touched; no
+    data file of an already-processed snapshot is opened."""
+    done = [
+        io.read_manifest(features_table, r)
+        for r in io.committed_runs(features_table)
+    ]
+    watermark = max(
+        (m.get("source_seq_hi", 0) for m in done
+         if m.get("incremental_of") == source_table),
+        default=0,
+    )
+    # Orphan recovery: an errors snapshot whose features twin never
+    # committed means the previous invocation crashed mid-increment.
+    # Pin THIS run to the orphan's exact seq range — the run_id then
+    # matches, the errors append replays as an idempotent no-op, and
+    # error rows of snapshots that arrived after the crash are not
+    # double-committed under a wider range.
+    pin_hi = None
+    for r in io.committed_runs(errors_table):
+        m = io.read_manifest(errors_table, r)
+        if (m.get("incremental_of") == source_table
+                and m.get("source_seq_lo") == watermark
+                and not io.is_committed(features_table, r)):
+            pin_hi = m["source_seq_hi"]
+            break
+    new_rows, hi = io.read_since(
+        spark, source_table, watermark, until_seq=pin_hi
+    )
+    if new_rows is None:
+        return {
+            "job_id": job_id, "status": "no_new_snapshots",
+            "watermark": watermark, "rows": 0,
+        }
+    if "vocab" not in pipeline_kwargs:
+        from engine.pipeline import discover_tool_vocab
+
+        pipeline_kwargs = {
+            **pipeline_kwargs,
+            "vocab": discover_tool_vocab(new_rows),
+        }
+    run_id = f"{job_id}-seq{watermark + 1:06d}-{hi:06d}"
+    features, errors, meta = extract_features(
+        spark, new_rows, context, **pipeline_kwargs
+    )
+    extra = {
+        "pipeline": meta,
+        "incremental_of": source_table,
+        "source_seq_lo": watermark,
+        "source_seq_hi": hi,
+    }
+    # errors first, features last — the features manifest is the commit
+    # point the next watermark recovery gates on (same crash rule as
+    # run_resumable below); the errors manifest carries the same range
+    # meta so a crash between the two commits is recoverable (orphan
+    # pinning above)
+    io.append(spark, errors, errors_table, run_id, ts_col="ts",
+              extra_meta={k: extra[k] for k in
+                          ("incremental_of", "source_seq_lo", "source_seq_hi")})
+    m = io.append(
+        spark, features, features_table, run_id, ts_col="ts",
+        extra_meta=extra,
+    )
+    return {
+        "job_id": job_id, "status": "committed", "run_id": run_id,
+        "watermark": hi, "rows": m["total_rows"],
+        "source_seq_range": [watermark, hi],
+    }
+
+
 def run_resumable(
     spark: SparkSession,
     transcripts: DataFrame,

@@ -463,13 +463,29 @@ class TableIO:
                 return True  # no stats → cannot prune safely
             return whi >= lo and wlo <= hi
 
+        run_ids = [r for r in included if r not in replaced]
+        return self._assemble_read(spark, table, manifests, run_ids, keep,
+                                   prunable=ts_range is not None)
+
+    def _assemble_read(
+        self,
+        spark: SparkSession,
+        table: str,
+        manifests: dict[str, dict],
+        run_ids: list[str],
+        keep,
+        prunable: bool,
+    ) -> DataFrame:
+        """Scan the given snapshots' files (those passing `keep`),
+        mergeSchema within each scan, basePath per hive-partitioned
+        snapshot, unionByName across snapshots (schema evolution:
+        columns added over time are nulled in older data — Iceberg
+        add-column semantics)."""
         flat: list[str] = []
         partitioned: dict[str, list[str]] = {}
         flat_all: list[str] = []
         partitioned_all: dict[str, list[str]] = {}
-        for run_id in included:
-            if run_id in replaced:
-                continue
+        for run_id in run_ids:
             m = manifests[run_id]
             if m.get("expired"):
                 raise FileNotFoundError(
@@ -493,10 +509,6 @@ class TableIO:
         def assemble(
             flat_fs: list[str], part_fs: dict[str, list[str]]
         ) -> DataFrame:
-            # schema evolution: snapshots may have gained columns over
-            # time — merge file schemas within the scan and align by
-            # name across snapshots, nulling columns absent in older
-            # data (Iceberg add-column semantics)
             dfs = []
             if flat_fs:
                 dfs.append(
@@ -514,7 +526,7 @@ class TableIO:
             return out
 
         if not flat and not partitioned:
-            if ts_range is not None and (flat_all or partitioned_all):
+            if prunable and (flat_all or partitioned_all):
                 # every file pruned: empty result, but built through the
                 # SAME read path as the non-empty case (mergeSchema +
                 # basePath per snapshot + unionByName) so hive partition
@@ -523,3 +535,54 @@ class TableIO:
                 return assemble(flat_all, partitioned_all).filter(F.lit(False))
             raise FileNotFoundError(f"no committed snapshots for table {table!r}")
         return assemble(flat, partitioned)
+
+    def max_commit_seq(self, table: str) -> int:
+        """Highest committed commit_seq (0 for an empty/absent table) —
+        the incremental-read watermark unit."""
+        seqs = [
+            m.get("commit_seq", 0)
+            for m in self._load_manifests(table).values()
+        ]
+        return max(seqs) if seqs else 0
+
+    def read_since(
+        self,
+        spark: SparkSession,
+        table: str,
+        since_seq: int,
+        until_seq: int | None = None,
+    ) -> tuple[DataFrame | None, int]:
+        """Incremental read: rows of DATA snapshots committed with
+        since_seq < commit_seq (<= until_seq, when given), plus the new
+        high watermark. Returns (None, high watermark) when nothing new
+        committed. `until_seq` pins a replay to the exact range a
+        crashed consumer already partially committed (see
+        runner.run_incremental's orphan recovery).
+
+        Compaction snapshots (manifests carrying `replaces`) are
+        EXCLUDED regardless of their seq: they rewrite rows that were
+        already visible at lower seqs, so including them would hand the
+        same rows to an incremental consumer twice. The watermark
+        advances over them silently (a compaction carries no new rows).
+        This is the Iceberg incremental-append-scan analog
+        (snapshot-id-range read of append snapshots only)."""
+        manifests = self._load_manifests(table)
+        new = [
+            run_id
+            for _key, run_id in self._commit_order(table, manifests)
+            if manifests[run_id].get("commit_seq", 0) > since_seq
+            and (until_seq is None
+                 or manifests[run_id].get("commit_seq", 0) <= until_seq)
+            and not manifests[run_id].get("replaces")
+        ]
+        hi = max(
+            (m.get("commit_seq", 0) for m in manifests.values()
+             if until_seq is None or m.get("commit_seq", 0) <= until_seq),
+            default=since_seq,
+        )
+        if not new:
+            return None, hi
+        df = self._assemble_read(
+            spark, table, manifests, new, keep=lambda e: True, prunable=False
+        )
+        return df, hi

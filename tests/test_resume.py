@@ -368,3 +368,103 @@ def test_isolate_hot_keeps_null_key_rows_in_quarantine(
     errs = io.read(spark, "errors")
     assert errs.filter(F.col("code") == "MISSING_KEY").count() == 1
     assert io.read(spark, "features").count() == transcripts_df.count()
+
+
+# ---------------------------------------------------------------------------
+# Incremental feature extraction over new snapshots (run_incremental)
+# ---------------------------------------------------------------------------
+
+def _conv_split(transcripts_df, context_df):
+    """Two conversation-aligned phases (the run_incremental ingest
+    contract: a conversation never straddles an increment boundary)."""
+    from pyspark.sql import functions as F
+
+    phase_a = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+    return (
+        transcripts_df.filter(phase_a), context_df.filter(phase_a),
+        transcripts_df.filter(~phase_a), context_df.filter(~phase_a),
+    )
+
+
+def test_incremental_two_phase_equals_one_shot(
+    spark, transcripts_df, context_df, io
+):
+    """Ingest in two conversation-aligned snapshots, run_incremental
+    after each: the union of incremental features must be ROW-IDENTICAL
+    to one batch extract_features over everything, and the second run
+    must read only the second snapshot's rows (cost O(new rows))."""
+    from engine.pipeline import extract_features
+    from engine.runner import run_incremental
+
+    t_a, c_a, t_b, c_b = _conv_split(transcripts_df, context_df)
+    io.append(spark, t_a, "turns", "ingest-a", ts_col="ts")
+    s1 = run_incremental(spark, io, "inc1", context=c_a)
+    assert s1["status"] == "committed" and s1["rows"] == t_a.count()
+
+    io.append(spark, t_b, "turns", "ingest-b", ts_col="ts")
+    s2 = run_incremental(spark, io, "inc1", context=c_b)
+    assert s2["status"] == "committed" and s2["rows"] == t_b.count()
+    # watermark advanced, second increment covered only snapshot B
+    assert s2["source_seq_range"][0] == s1["watermark"]
+
+    batch_f, _e, _m = extract_features(spark, transcripts_df, context_df)
+    cols = sorted(batch_f.columns)
+    # repr sort key: rows contain None alongside str/float, which
+    # plain tuple ordering cannot compare
+    got = sorted(map(tuple, io.read(spark, "features").select(cols).collect()),
+                 key=repr)
+    exp = sorted(map(tuple, batch_f.select(cols).collect()), key=repr)
+    assert got == exp and len(got) == transcripts_df.count()
+
+    # nothing new → explicit no-op, watermark unchanged
+    s3 = run_incremental(spark, io, "inc1", context=None)
+    assert s3["status"] == "no_new_snapshots" and s3["watermark"] == s2["watermark"]
+
+
+def test_incremental_orphan_recovery_pins_range(
+    spark, transcripts_df, context_df, io
+):
+    """Crash between the errors and features commits, with a NEW source
+    snapshot landing before the retry: the retry must replay exactly
+    the orphaned range (same run_id → errors no-op) instead of folding
+    the new snapshot into a wider range that would double-commit the
+    old range's error rows; the new snapshot is picked up by the NEXT
+    increment."""
+    from engine.pipeline import extract_features
+    from engine.runner import run_incremental
+
+    t_a, c_a, t_b, c_b = _conv_split(transcripts_df, context_df)
+    io.append(spark, t_a, "turns", "ingest-a", ts_col="ts")
+    seq_a = io.max_commit_seq("turns")
+
+    # simulate the crashed first increment: errors committed, features not
+    f, e, _m = extract_features(spark, t_a, c_a)
+    run_id = f"inc2-seq{1:06d}-{seq_a:06d}"
+    io.append(spark, e, "errors", run_id, ts_col="ts",
+              extra_meta={"incremental_of": "turns",
+                          "source_seq_lo": 0, "source_seq_hi": seq_a})
+
+    # a new snapshot lands before the retry
+    io.append(spark, t_b, "turns", "ingest-b", ts_col="ts")
+
+    s1 = run_incremental(spark, io, "inc2", context=c_a)
+    assert s1["status"] == "committed"
+    assert s1["run_id"] == run_id            # pinned to the orphaned range
+    assert s1["rows"] == t_a.count()         # snapshot B NOT folded in
+
+    s2 = run_incremental(spark, io, "inc2", context=c_b)
+    assert s2["status"] == "committed" and s2["rows"] == t_b.count()
+    assert io.read(spark, "features").count() == transcripts_df.count()
+
+
+def test_incremental_skips_compactions(spark, transcripts_df, io):
+    """A compaction snapshot must be invisible to read_since: its rows
+    were already consumed at lower seqs; re-reading them would
+    double-process. The watermark still advances over it."""
+    t = transcripts_df.limit(100)
+    io.append(spark, t, "turns", "r1", ts_col="ts")
+    df1, hi1 = io.read_since(spark, "turns", 0)
+    assert df1.count() == 100
+    io.compact(spark, "turns", target_files=2)
+    df2, hi2 = io.read_since(spark, "turns", hi1)
+    assert df2 is None and hi2 > hi1  # watermark moves past the compaction
