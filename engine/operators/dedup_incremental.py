@@ -1,0 +1,252 @@
+"""Incremental MinHash near-dup dedup for streaming ingest.
+
+The realistic training-data flow (round-3 verdict item #5): documents
+arrive in batches/epochs; each new batch's MinHash signatures are
+checked against the COMMITTED signature state, so dedup cost per epoch
+is O(new docs × bucket collisions), never a full-corpus re-run — while
+the resulting keep-list stays EXACTLY equal to what the batch
+`near_dup_clusters` operator would produce over everything ingested so
+far (batch-parity is test-pinned).
+
+State (three TableIO tables in one warehouse):
+- `docs`      (doc_id, text)                 — the ingested corpus.
+- `doc_sigs`  (doc_id, band_idx, band_key)   — LSH band buckets of
+  every ingested doc: ids + hashes ONLY (the shuffle-payload doctrine;
+  shingle sets are recomputed for the bounded candidate ids instead of
+  stored).
+- `doc_rep`   (doc_id, rep_id, upd_seq)      — cluster representative
+  per doc, LATEST upd_seq wins. rep_id is always the cluster's min
+  doc_id, so the keep-list is simply rep_id == doc_id.
+
+Why the edge set is identical to the batch run: the batch operator's
+edges are all pairs sharing ≥1 band key with verified Jaccard ≥ t.
+For any such pair, the LATER-ingested doc discovers it in its own
+epoch via the new×(old ∪ new) band join — old×old pairs need never be
+re-examined. Connected components are then maintained EXACTLY: an
+epoch recomputes labels only on the AFFECTED subgraph (the new docs,
+every doc they touch, and all members of those docs' current clusters,
+connected by the new verified edges plus the doc→rep star edges that
+encode the old equivalences). Min-label propagation on that subgraph
+merges clusters transitively across epochs, including retroactive
+merges (a new doc bridging two old clusters re-labels BOTH to the
+global min) — the part first-seen-wins heuristics get wrong.
+
+Scale shape at 100 TB: per epoch, the only full-state relations
+touched are `doc_sigs` (band join against the new docs' bands — a
+bucketed hash join on (band_idx, band_key), ids+hashes only) and
+`doc_rep` (two semi-join-shaped filters to pull affected members).
+Text is read back only for candidate ids (broadcast-sized). The
+affected-cluster rewrite is the standard price of EXACT incremental
+connected components; the documented alternative at extreme churn is
+periodic batch reconciliation via `near_dup_clusters`.
+
+Crash safety: the three appends of an epoch share one run_id and
+commit docs → doc_sigs → doc_rep; `doc_rep` is the epoch's commit
+point. A replay (foreachBatch re-delivers the same epoch id) or a
+crash retry re-runs the epoch: the earlier appends are idempotent
+no-ops on their committed run_id and `doc_rep` commits once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from engine.operators.dedup import (
+    connected_components,
+    minhash_signature,
+    with_shingles,
+)
+from engine.tableio import TableIO
+
+DOCS_TABLE = "docs"
+SIGS_TABLE = "doc_sigs"
+REP_TABLE = "doc_rep"
+
+
+def _band_rows(
+    df: DataFrame, num_hashes: int, bands: int, shingle_n: int
+) -> DataFrame:
+    """(doc_id, band_idx, band_key) LSH bucket rows for a doc batch —
+    the persisted signature state. Mirrors lsh_candidate_pairs'
+    banding exactly (same md5-of-concatenated-sigs band key)."""
+    rows = num_hashes // bands
+    sigs = minhash_signature(df, "doc_id", "text", num_hashes, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat(*[F.col(f"sig_{b * rows + r}") for r in range(rows)])
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col("doc_id"), F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+
+
+def latest_rep(spark: SparkSession, io: TableIO) -> DataFrame:
+    """Current (doc_id, rep_id) mapping: latest upd_seq wins per doc."""
+    rep = io.read(spark, REP_TABLE)
+    w = Window.partitionBy("doc_id").orderBy(F.col("upd_seq").desc())
+    return (
+        rep.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "rep_id")
+    )
+
+
+def dedup_keep_list(spark: SparkSession, io: TableIO) -> DataFrame:
+    """The dedup decision over everything ingested so far: one doc per
+    near-dup cluster (the cluster-min representative) — identical to
+    batch `near_dup_clusters` + keep-min-id over the same corpus."""
+    return latest_rep(spark, io).filter(
+        F.col("rep_id") == F.col("doc_id")
+    ).select("doc_id")
+
+
+def ingest_dedup_increment(
+    spark: SparkSession,
+    io: TableIO,
+    new_docs: DataFrame,
+    run_id: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> dict:
+    """Ingest one batch of new documents (globally unique doc_ids —
+    the ingest contract) into the dedup state. See module docstring
+    for the algorithm, state tables, and crash-safety protocol."""
+    if io.is_committed(REP_TABLE, run_id):
+        m = io.read_manifest(REP_TABLE, run_id)
+        return {"run_id": run_id, "status": "replayed", "rep_rows": m["total_rows"]}
+
+    new_docs = new_docs.select("doc_id", "text")
+    bands_new = _band_rows(new_docs, num_hashes, bands, shingle_n)
+    have_state = bool(io.committed_runs(SIGS_TABLE))
+    if have_state:
+        bands_all = io.read(spark, SIGS_TABLE).unionByName(bands_new)
+        docs_all = io.read(spark, DOCS_TABLE).select(
+            "doc_id", "text"
+        ).unionByName(new_docs)
+        rep_old = latest_rep(spark, io)
+    else:
+        bands_all = bands_new
+        docs_all = new_docs
+        rep_old = spark.createDataFrame([], "doc_id long, rep_id long")
+
+    # Candidates: new × (old ∪ new) via the band-bucket join — the only
+    # full-state shuffle, carrying ids + hashes only. Normalized to
+    # (id_a < id_b) so new×new pairs dedupe.
+    a = bands_new.alias("a")
+    b = bands_all.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("id_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    # Exact Jaccard verification on candidates only; text re-read just
+    # for the bounded candidate id set.
+    cand_ids = cand.select(F.col("id_a").alias("doc_id")).unionByName(
+        cand.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
+    sh = (
+        with_shingles(
+            docs_all.join(cand_ids, "doc_id", "left_semi"), "text", shingle_n
+        )
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles")
+    )
+    edges = (
+        cand.join(
+            sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+    edges = edges.localCheckpoint()  # the fixpoint below iterates over it
+
+    # Affected subgraph: new docs + every old cluster a new edge
+    # touches (ALL its members — a merge must re-label the whole
+    # cluster), connected by new edges + doc→rep star edges.
+    touched = edges.select(F.col("id_a").alias("doc_id")).unionByName(
+        edges.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
+    affected_reps = rep_old.join(touched, "doc_id", "left_semi").select(
+        "rep_id"
+    ).distinct()
+    members = rep_old.join(affected_reps, "rep_id", "left_semi")
+    verts = (
+        new_docs.select("doc_id")
+        .unionByName(members.select("doc_id"))
+        .distinct()
+    )
+    star_edges = members.filter(F.col("doc_id") != F.col("rep_id")).select(
+        F.col("doc_id").alias("id_a"), F.col("rep_id").alias("id_b")
+    )
+    labels = connected_components(
+        verts, edges.unionByName(star_edges), "doc_id"
+    )  # (doc_id, cluster_id) with cluster_id = component min
+
+    upd_seq = io.max_commit_seq(REP_TABLE) + 1
+    rep_rows = labels.select(
+        "doc_id",
+        F.col("cluster_id").alias("rep_id"),
+        F.lit(upd_seq).cast("long").alias("upd_seq"),
+    )
+    # commit order: docs → sigs → rep (the gate); replays no-op
+    io.append(spark, new_docs, DOCS_TABLE, run_id, ts_col=None)
+    io.append(spark, bands_new, SIGS_TABLE, run_id, ts_col=None)
+    m = io.append(spark, rep_rows, REP_TABLE, run_id, ts_col=None,
+                  extra_meta={"upd_seq": upd_seq})
+    return {"run_id": run_id, "status": "committed", "rep_rows": m["total_rows"]}
+
+
+def stream_dedup_ingest(
+    sdf: DataFrame,
+    io: TableIO,
+    job_id: str,
+    checkpoint_dir: str | None = None,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+):
+    """Structured-Streaming wrapper: each micro-batch of documents runs
+    one `ingest_dedup_increment` epoch. foreachBatch is at-least-once
+    (an epoch replays with the same id after failure), which the
+    run_id-gated commit protocol absorbs — same recipe as
+    stream_to_tableio (engine/streaming.py). Returns an un-started
+    DataStreamWriter; caller picks the trigger."""
+
+    def commit(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_dedup_increment(
+            batch_df.sparkSession, io, batch_df,
+            f"{job_id}-e{int(epoch_id):06d}",
+            num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, threshold=threshold,
+        )
+
+    writer = sdf.writeStream.foreachBatch(commit).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
