@@ -1,0 +1,115 @@
+"""One-order-of-magnitude flagship datapoint (round-3 verdict #7):
+run the full feature pipeline at ~45M turns — 10× the 4.56M-turn
+scaling-bench input — at local[32], and report turns/sec next to that
+smaller number. Near-flat per-turn throughput across the decade is the
+DIRECT evidence that nothing driver-side or coordination-shaped grows
+with input size (the plan audit argues it; this measures it).
+
+Input generation is fully DISTRIBUTED — the registered custom
+transcript DataSource materializes conversations executor-side
+(per-conversation seeding, partition-invariant), and the context table
+comes from engine.generate_dist (codegen expressions over one
+groupBy). The driver never holds a row; the same recipe would emit the
+10^12-turn table on a real cluster.
+
+Usage:
+    python scripts/scale10_bench.py [--turns 45000000] [--reps 3]
+Writes the datapoint JSON (with bracketing cpu/membw/disk probes) to
+stdout as ONE line. Parquet inputs are cached under --tmp and reused.
+Foreground only — never under run_in_background (BENCH.md: the
+background runner throttles high-parallelism Spark ~2.5×).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=45_000_000)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--tmp", default="/tmp/spark_graft_scale10")
+    ap.add_argument("--shuffle", type=int, default=96)
+    args = ap.parse_args()
+
+    from bench import _cpu_probe
+    from engine.generate import TOOLS
+    from engine.pipeline import extract_features
+    from engine.session import build_session
+
+    os.makedirs(args.tmp, exist_ok=True)
+    n_convs = max(200, args.turns // 40)  # zipf mean ≈ 40 turns/conv
+    tpath = os.path.join(args.tmp, f"transcripts_{n_convs}.parquet")
+    cpath = os.path.join(args.tmp, f"context_{n_convs}.parquet")
+
+    spark = build_session(
+        app_name=f"scale10-local[{args.cpus}]",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.shuffle,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(tpath):
+        from engine.sources.transcript_source import TranscriptDataSource
+
+        spark.dataSource.register(TranscriptDataSource)
+        t_gen = (
+            spark.read.format("transcripts")
+            .option("n_convs", n_convs)
+            .option("partitions", args.cpus * 2)
+            .load()
+        )
+        t_gen.write.mode("overwrite").parquet(tpath)
+        from engine.generate_dist import generate_context_events_distributed
+
+        generate_context_events_distributed(
+            spark.read.parquet(tpath), seed=43
+        ).write.mode("overwrite").parquet(cpath)
+
+    t = spark.read.parquet(tpath)
+    c = spark.read.parquet(cpath)
+    n_rows = t.count()
+
+    vocab = list(TOOLS)
+    # untimed warmup (Python workers + codegen JIT)
+    wf, _we, _wm = extract_features(
+        spark, t.limit(20000), c.limit(5000), vocab=vocab
+    )
+    wf.write.format("noop").mode("overwrite").save()
+
+    probe_before = _cpu_probe(args.cpus)
+    best = float("inf")
+    samples = []
+    for _ in range(args.reps):
+        f, _e, _m = extract_features(spark, t, c, vocab=vocab)
+        t0 = time.time()
+        f.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        samples.append(round(dt, 3))
+        best = min(best, dt)
+    probe_after = _cpu_probe(args.cpus)
+
+    print(json.dumps({
+        "metric": "scale10_flagship_turns_per_sec",
+        "value": round(n_rows / best, 1),
+        "unit": "turns/sec",
+        "turns": n_rows,
+        "seconds_best": round(best, 3),
+        "seconds_all": samples,
+        "cores": args.cpus,
+        "shuffle_partitions": args.shuffle,
+        "cpu_probe_before": probe_before,
+        "cpu_probe_after": probe_after,
+    }))
+
+
+if __name__ == "__main__":
+    main()
