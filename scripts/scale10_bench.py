@@ -34,6 +34,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--turns", type=int, default=45_000_000)
+    ap.add_argument("--convs", type=int, default=None,
+                    help="override the conversation count (the conv-range "
+                         "generator's zipf mean is ~30.6 turns/conv, not "
+                         "the driver generator's ~40)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--tmp", default="/tmp/spark_graft_scale10")
@@ -46,7 +50,7 @@ def main() -> None:
     from engine.session import build_session
 
     os.makedirs(args.tmp, exist_ok=True)
-    n_convs = max(200, args.turns // 40)  # zipf mean ≈ 40 turns/conv
+    n_convs = args.convs or max(200, int(args.turns / 30.6))
     tpath = os.path.join(args.tmp, f"transcripts_{n_convs}.parquet")
     cpath = os.path.join(args.tmp, f"context_{n_convs}.parquet")
 
