@@ -1045,7 +1045,92 @@ SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM scored WHERE cos >= 0.95
 """
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Intra-document repetition signals (the Gopher/RefinedWeb-style
+    quality rule this family was missing): duplicate word-3-gram ratio
+    and top-3-gram share, plus the gate boolean. All codegen; the gram
+    and distinct-gram arrays are MATERIALIZED once per row before any
+    per-element lambda touches them (inlined subtrees re-evaluate per
+    element — the measured 15x pitfall, BENCH.md).
+
+    Scale note: top_ngram_share's count-per-distinct transform is
+    O(|distinct| x |grams|) per DOCUMENT (never cross-row); for
+    book-length docs cap the text upstream (P9 reduction profiles) or
+    drop top share and keep the O(n) dup ratio."""
+    d = _heavy(spark, sf_dir, "documents")
+    d = d.withColumn(
+        "_toks", F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    )
+    d = d.withColumn(
+        "_grams",
+        F.expr(
+            "CASE WHEN size(_toks) >= 3 AND trim(coalesce(text, '')) <> '' "
+            "THEN transform(sequence(1, size(_toks) - 2), "
+            "i -> concat_ws(' ', slice(_toks, i, 3))) ELSE array() END"
+        ),
+    )
+    d = d.withColumn("_dist", F.array_distinct("_grams"))
+    n = F.size("_grams")
+    dup = F.round((n - F.size("_dist")) / n, 6)
+    maxc = F.array_max(
+        F.transform(
+            F.col("_dist"),
+            lambda g: F.size(F.filter(F.col("_grams"), lambda x: x == g)),
+        )
+    )
+    top = F.round(maxc / n, 6)
+    return d.select(
+        "doc_id",
+        n.alias("n_ngrams"),
+        F.when(n > 0, dup).otherwise(F.lit(0.0)).alias("dup_ngram_ratio"),
+        F.when(n > 0, top).otherwise(F.lit(0.0)).alias("top_ngram_share"),
+        # top-share only gates docs with enough grams (n >= 20): a
+        # 4-gram doc has top share 0.25 by construction — the published
+        # repetition heuristics apply the fraction tests above a
+        # minimum length for exactly this reason
+        F.when(n > 0, (dup > 0.2) | ((n >= 20) & (top > 0.18)))
+        .otherwise(F.lit(False))
+        .alias("repetitive"),
+    )
+
+
+SQL_DOC_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(coalesce(text, '')), '\s+') AS toks,
+         trim(coalesce(text, '')) AS txt
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 AND txt <> '' THEN
+           list_transform(range(1, len(toks) - 1),
+             i -> array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' '))
+         ELSE [] END AS grams
+  FROM t
+), s AS (
+  SELECT doc_id, len(grams) AS n, len(list_distinct(grams)) AS d,
+         CASE WHEN len(grams) > 0 THEN
+           list_max(list_transform(list_distinct(grams),
+             u -> len(list_filter(grams, x -> x = u))))
+         ELSE 0 END AS maxc
+  FROM g
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_ngrams,
+       CASE WHEN n > 0 THEN ROUND((n - d) / CAST(n AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_ngram_ratio,
+       CASE WHEN n > 0 THEN ROUND(maxc / CAST(n AS DOUBLE), 6)
+            ELSE 0.0 END AS top_ngram_share,
+       CASE WHEN n > 0 THEN
+            ROUND((n - d) / CAST(n AS DOUBLE), 6) > 0.2
+            OR (n >= 20 AND ROUND(maxc / CAST(n AS DOUBLE), 6) > 0.18)
+       ELSE FALSE END AS repetitive
+FROM s
+"""
+
+
 QUERIES = {
+    "doc_repetition": q_doc_repetition,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
@@ -1073,6 +1158,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_repetition": SQL_DOC_REPETITION,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_langid": SQL_DOC_LANGID,
