@@ -1129,8 +1129,85 @@ FROM s
 """
 
 
+def q_doc_contamination(spark, sf_dir):
+    """Benchmark decontamination — the standard n-gram-collision test
+    a training pipeline runs before release: flag corpus docs sharing
+    any word 8-gram with a benchmark set. The benchmark stand-in is a
+    deterministic corpus slice (doc_id % 97 == 0; in production this
+    is the eval suite's text). Output: (doc_id, bench_id,
+    n_shared_ngrams) per contaminated pair.
+
+    The synthetic corpus has no natural cross-doc 8-gram overlap, so a
+    bare run returns 0 rows — a vacuous check (the round-3 lesson from
+    dedup_embedding). The query therefore PLANTS contamination
+    deterministically: every benchmark doc's text is cloned into the
+    corpus as doc_id + 500000 (500000 % 97 = 62, so clones are never
+    benchmark members), guaranteeing each ≥8-token benchmark doc one
+    fully-overlapping contaminated pair the oracle must reproduce.
+
+    Scale shape: grams are md5-hashed and the join carries only
+    (hash, id) — text never shuffles; the benchmark side is tiny and
+    broadcasts. 8 grams (not the common 13) because the synthetic
+    corpus has short docs; the operator is n-parametric."""
+    n = 8
+    d = _heavy(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.unionByName(
+        d.filter(F.col("doc_id") % 97 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text"
+        )
+    )
+    toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    grams = F.expr(
+        f"CASE WHEN size(_toks) >= {n} AND trim(coalesce(text, '')) <> '' "
+        f"THEN array_distinct(transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> md5(concat_ws(' ', slice(_toks, i, {n}))))) ELSE array() END"
+    )
+    hashed = (
+        d.withColumn("_toks", toks)
+        .withColumn("_grams", grams)
+        .select("doc_id", F.explode("_grams").alias("gram_h"))
+    )
+    bench = hashed.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "gram_h"
+    )
+    corpus = hashed.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram_h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_ngrams"))
+    )
+
+
+SQL_DOC_CONTAMINATION = r"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 97 = 0
+), t AS (
+  SELECT doc_id,
+         string_split_regex(trim(coalesce(text, '')), '\s+') AS toks,
+         trim(coalesce(text, '')) AS txt
+  FROM docs2
+), g AS (
+  SELECT doc_id, unnest(
+           CASE WHEN len(toks) >= 8 AND txt <> '' THEN
+             list_distinct(list_transform(range(1, len(toks) - 6),
+               i -> md5(array_to_string(
+                      toks[CAST(i AS INT):CAST(i AS INT)+7], ' '))))
+           ELSE [] END) AS gram_h
+  FROM t
+)
+SELECT c.doc_id, b.doc_id AS bench_id,
+       CAST(COUNT(*) AS INT) AS n_shared_ngrams
+FROM g c JOIN g b USING (gram_h)
+WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+GROUP BY c.doc_id, b.doc_id
+"""
+
+
 QUERIES = {
     "doc_repetition": q_doc_repetition,
+    "doc_contamination": q_doc_contamination,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
@@ -1159,6 +1236,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_repetition": SQL_DOC_REPETITION,
+    "doc_contamination": SQL_DOC_CONTAMINATION,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_langid": SQL_DOC_LANGID,
