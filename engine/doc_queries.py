@@ -837,39 +837,45 @@ WITH m AS (
   SELECT doc_id,
          CAST(doc_id % 3 AS INT) AS k,
          doc_id % 30 IN (0, 10, 20) AS corrupt,  -- raw bytes, no magic
+         text IS NULL AS null_text,  -- NULL text nulls the whole codegen
+                                  -- concat -> NULL payload -> the
+                                  -- engine's NULL_PAYLOAD error row
+                                  -- (round-4 review finding #3)
          strlen(text) AS n
   FROM documents
 ), p AS (
-  SELECT doc_id, k, corrupt, n,
+  SELECT doc_id, k, corrupt, null_text, n,
          CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS kind,
          ((n % 200) + 1) * (((doc_id % 2) + 1) * 2) AS wav_data
   FROM m
 )
 SELECT doc_id, kind,
-       CAST(CASE WHEN corrupt THEN n
+       CAST(CASE WHEN null_text THEN NULL
+                 WHEN corrupt THEN n
                  WHEN k = 0 THEN CASE WHEN doc_id % 6 = 0 THEN 45
                                       ELSE 23 END   -- PNG | JPEG
                  WHEN k = 1 THEN 44 + wav_data      -- WAV hdr + data
                  ELSE 124 END AS INT) AS n_bytes,   -- MP4 skeleton
-       CAST(CASE WHEN NOT corrupt AND k IN (0, 2)
+       CAST(CASE WHEN NOT corrupt AND NOT null_text AND k IN (0, 2)
                  THEN (n % 640) + 1 END AS INT) AS width,
-       CAST(CASE WHEN NOT corrupt AND k IN (0, 2)
+       CAST(CASE WHEN NOT corrupt AND NOT null_text AND k IN (0, 2)
                  THEN (n % 480) + 1 END AS INT) AS height,
-       CAST(CASE WHEN corrupt THEN NULL
+       CAST(CASE WHEN corrupt OR null_text THEN NULL
                  WHEN k = 0 THEN 1
                  WHEN k = 1 THEN (n % 200) + 1
                  ELSE (n // 100) + 1 END AS INT) AS n_frames,
-       CAST(CASE WHEN NOT corrupt AND k = 1
+       CAST(CASE WHEN NOT corrupt AND NOT null_text AND k = 1
                  THEN 8000 + (doc_id % 4) * 4000 END AS INT) AS sample_rate,
-       CAST(CASE WHEN NOT corrupt AND k = 1
+       CAST(CASE WHEN NOT corrupt AND NOT null_text AND k = 1
                  THEN (doc_id % 2) + 1 END AS INT) AS channels,
-       NOT corrupt AS decode_ok,
-       CASE WHEN corrupt THEN NULL
+       NOT (corrupt OR null_text) AS decode_ok,
+       CASE WHEN corrupt OR null_text THEN NULL
             WHEN k = 0 THEN CASE WHEN doc_id % 6 = 0 THEN 'png'
                                  ELSE 'jpeg' END
             WHEN k = 1 THEN 'wav' ELSE 'mp4' END AS decoder,
-       CASE WHEN corrupt THEN
+       CASE WHEN null_text THEN 'NULL_PAYLOAD'
+            WHEN corrupt THEN
             CASE k WHEN 0 THEN 'UNSUPPORTED_IMAGE_FORMAT'
                    WHEN 1 THEN 'UNSUPPORTED_AUDIO_FORMAT'
                    ELSE 'UNSUPPORTED_VIDEO_FORMAT' END END AS error

@@ -138,17 +138,19 @@ def minhash_signature(
     return out
 
 
-def lsh_candidate_pairs(
+def lsh_band_rows(
     sigs: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 8,
     bands: int = 4,
 ) -> DataFrame:
-    """LSH banding: split the signature into `bands` bands of
-    num_hashes/bands rows; docs sharing any band key are candidates.
-    Returns distinct (id_a < id_b) pairs. The self-join shuffles only
-    (band_idx, band_key, id); bucket sizes are O(1) w.h.p. so the join
-    fan-out is bounded; AQE skew-join handles degenerate buckets."""
+    """(id, band_idx, band_key) LSH bucket rows: the signature split
+    into `bands` bands of num_hashes/bands rows, each keyed by the md5
+    of its concatenated sig values. Shared by the batch candidate join
+    below AND the incremental dedup's persisted signature state
+    (operators/dedup_incremental.py) — one banding definition, so the
+    two can never drift, and both inherit the divisibility check
+    (trailing hashes silently ignored would weaken recall)."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
@@ -164,9 +166,22 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    bands_df = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_key")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding candidates: docs sharing any band key. Returns
+    distinct (id_a < id_b) pairs. The self-join shuffles only
+    (band_idx, band_key, id); bucket sizes are O(1) w.h.p. so the join
+    fan-out is bounded; AQE skew-join handles degenerate buckets."""
+    bands_df = lsh_band_rows(sigs, id_col, num_hashes, bands)
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     return (

@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from engine.operators.dedup import (
     connected_components,
+    lsh_band_rows,
     minhash_signature,
     with_shingles,
 )
@@ -67,22 +68,12 @@ def _band_rows(
     df: DataFrame, num_hashes: int, bands: int, shingle_n: int
 ) -> DataFrame:
     """(doc_id, band_idx, band_key) LSH bucket rows for a doc batch —
-    the persisted signature state. Mirrors lsh_candidate_pairs'
-    banding exactly (same md5-of-concatenated-sigs band key)."""
-    rows = num_hashes // bands
+    the persisted signature state. Uses the SAME banding helper as the
+    batch candidate join (dedup.lsh_band_rows), so the two definitions
+    can never drift and invalid num_hashes/bands combinations raise
+    here exactly as they do in the batch operator."""
     sigs = minhash_signature(df, "doc_id", "text", num_hashes, shingle_n)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat(*[F.col(f"sig_{b * rows + r}") for r in range(rows)])
-            ).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    return sigs.select(
-        F.col("doc_id"), F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_key")
+    return lsh_band_rows(sigs, "doc_id", num_hashes, bands)
 
 
 def latest_rep(spark: SparkSession, io: TableIO) -> DataFrame:
@@ -124,16 +115,31 @@ def ingest_dedup_increment(
 
     new_docs = new_docs.select("doc_id", "text")
     bands_new = _band_rows(new_docs, num_hashes, bands, shingle_n)
-    have_state = bool(io.committed_runs(SIGS_TABLE))
-    if have_state:
-        bands_all = io.read(spark, SIGS_TABLE).unionByName(bands_new)
-        docs_all = io.read(spark, DOCS_TABLE).select(
-            "doc_id", "text"
+    # Each table is keyed on ITS OWN committed state, not a shared
+    # flag: a first-epoch crash between the sigs and rep commits
+    # otherwise leaves sigs committed but doc_rep empty, and a
+    # latest_rep() read keyed on the sigs table would raise on every
+    # retry — wedging the pipeline in exactly the crash window the
+    # commit protocol promises to absorb (round-4 review finding #1).
+    # Sigs without rep rows are also CORRECT to read here: those docs'
+    # cluster state is exactly what the retried epoch recomputes. The
+    # committed side anti-joins away the new doc ids (broadcast-sized)
+    # so a retried epoch — whose own docs/sigs appends already
+    # committed — does not see its rows twice.
+    if io.committed_runs(SIGS_TABLE):
+        new_ids = F.broadcast(new_docs.select("doc_id"))
+        bands_all = io.read(spark, SIGS_TABLE).join(
+            new_ids, "doc_id", "left_anti"
+        ).unionByName(bands_new)
+        docs_all = io.read(spark, DOCS_TABLE).select("doc_id", "text").join(
+            new_ids, "doc_id", "left_anti"
         ).unionByName(new_docs)
-        rep_old = latest_rep(spark, io)
     else:
         bands_all = bands_new
         docs_all = new_docs
+    if io.committed_runs(REP_TABLE):
+        rep_old = latest_rep(spark, io)
+    else:
         rep_old = spark.createDataFrame([], "doc_id long, rep_id long")
 
     # Candidates: new × (old ∪ new) via the band-bucket join — the only

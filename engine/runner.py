@@ -74,13 +74,27 @@ def run_incremental(
     # Pin THIS run to the orphan's exact seq range — the run_id then
     # matches, the errors append replays as an idempotent no-op, and
     # error rows of snapshots that arrived after the crash are not
-    # double-committed under a wider range.
+    # double-committed under a wider range. The orphan must belong to
+    # THIS job_id (run_ids are job-prefixed): an orphan from another
+    # job at the same watermark would build a different run_id, so its
+    # errors append would NOT no-op and the range's error rows would
+    # double-commit — that is a single-writer-contract violation, and
+    # the run refuses loudly instead of corrupting the errors table
+    # (round-4 review finding #5).
     pin_hi = None
     for r in io.committed_runs(errors_table):
         m = io.read_manifest(errors_table, r)
         if (m.get("incremental_of") == source_table
                 and m.get("source_seq_lo") == watermark
                 and not io.is_committed(features_table, r)):
+            if not r.startswith(f"{job_id}-"):
+                raise RuntimeError(
+                    f"orphaned incremental errors snapshot {r!r} at "
+                    f"watermark {watermark} belongs to a different job; "
+                    f"one job_id per (source, features) table pair — "
+                    f"re-run under that job_id (or clean up its orphan) "
+                    f"instead of double-committing its error range"
+                )
             pin_hi = m["source_seq_hi"]
             break
     new_rows, hi = io.read_since(

@@ -99,43 +99,61 @@ class TableIO:
             for run_id in self.committed_runs(table)
         }
 
-    def _next_seq(self, table: str) -> int:
-        """Monotonic commit sequence, safe across TableIO INSTANCES and
-        PROCESSES: the counter lives in a `_seq` file inside the table's
-        manifest dir (no .json suffix, so committed_runs never sees it),
-        bumped under an exclusive advisory flock. Two concurrent writers
-        — e.g. a streaming sink plus a `jobs` CLI --compact/--expire
-        maintenance run — therefore can never stamp duplicate
-        commit_seq values, which would silently demote _commit_order to
-        run_id lexicographic tie-breaking. First writer seeds the
-        counter from the max committed seq (legacy tables). Still O(1)
-        per commit after seeding (one small file read+write), which the
-        per-epoch streaming sink needs. Gaps (a seq taken by an append
-        that later failed before manifest commit) are harmless: ordering
-        only needs monotonicity, not density."""
+    def _commit_manifest(self, table: str, run_id: str, manifest: dict) -> dict:
+        """Allocate the next commit_seq AND atomically commit the
+        manifest, both inside ONE exclusive flock on `_seq.lock` in the
+        table's manifest dir. Serializing allocation and commit
+        together makes seq order == manifest commit order, which
+        incremental consumers (read_since) depend on: without it, a
+        writer that allocated seq N then stalled could commit AFTER a
+        seq-N+1 commit was already consumed, and its rows would be
+        skipped forever (the round-4 review's finding #2; Iceberg
+        orders incremental scans by snapshot commit order for the same
+        reason). Concurrent writers — a streaming sink plus a CLI
+        --compact run — therefore can neither duplicate seqs nor
+        reorder them.
+
+        The lock file is NEVER replaced (replacing the locked inode
+        would silently hand the lock's mutual exclusion to a second
+        opener); the counter value lives in a separate `_seq` file
+        updated via tmp + os.replace, so no crash point leaves it
+        empty (review finding #6 — the old truncate-then-write window
+        could reseed a seq already reserved by an in-flight append).
+        Counter update precedes the manifest commit: a crash between
+        the two burns a seq (harmless gap) instead of reusing one.
+        First writer seeds from the max committed seq (legacy tables);
+        O(1) per commit after that. Neither file ends in .json, so
+        committed_runs never sees them."""
         import fcntl
 
         os.makedirs(self._manifest_dir(table), exist_ok=True)
         seq_path = os.path.join(self._manifest_dir(table), "_seq")
-        with open(seq_path, "a+") as fh:
-            fcntl.flock(fh, fcntl.LOCK_EX)
-            fh.seek(0)
-            raw = fh.read().strip()
-            if raw:
-                cur = int(raw)
-            else:
+        lock_path = seq_path + ".lock"
+        with open(lock_path, "a") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            cur = None
+            if os.path.exists(seq_path):
+                raw = open(seq_path).read().strip()
+                cur = int(raw) if raw else None
+            if cur is None:
                 seqs = [
                     m.get("commit_seq", 0)
                     for m in self._load_manifests(table).values()
                 ]
                 cur = max(seqs) if seqs else 0
             nxt = cur + 1
-            fh.seek(0)
-            fh.truncate()
-            fh.write(str(nxt))
-            fh.flush()
-            os.fsync(fh.fileno())
-        return nxt
+            ctmp = seq_path + f".tmp.{uuid.uuid4().hex}"
+            with open(ctmp, "w") as cfh:
+                cfh.write(str(nxt))
+                cfh.flush()
+                os.fsync(cfh.fileno())
+            os.replace(ctmp, seq_path)  # reservation, atomic
+            manifest = {**manifest, "commit_seq": nxt}
+            tmp = self._manifest_path(table, run_id) + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, indent=1)
+            os.replace(tmp, self._manifest_path(table, run_id))  # THE commit
+        return manifest
 
     def append(
         self,
@@ -221,7 +239,7 @@ class TableIO:
         manifest = {
             "table": table,
             "run_id": run_id,
-            "commit_seq": self._next_seq(table),
+            # commit_seq stamped by _commit_manifest inside the lock
             "partition_by": partition_by or [],
             "committed_at_epoch_s": time.time(),
             "elapsed_s": round(time.time() - t0, 3),
@@ -231,12 +249,7 @@ class TableIO:
             "files": files,
             **(extra_meta or {}),
         }
-        os.makedirs(self._manifest_dir(table), exist_ok=True)
-        tmp = self._manifest_path(table, run_id) + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, indent=1)
-        os.replace(tmp, self._manifest_path(table, run_id))  # THE commit
-        return manifest
+        return self._commit_manifest(table, run_id, manifest)
 
     def compact(
         self,

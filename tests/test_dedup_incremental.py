@@ -117,6 +117,41 @@ def test_incremental_crash_between_commits_recovers(spark, io):
     assert docs.count() == docs.select("doc_id").distinct().count()
 
 
+def test_incremental_first_epoch_crash_recovers(spark, io):
+    """Crash in the FIRST epoch between the sigs and rep commits: the
+    retry used to wedge forever (have_state keyed on the sigs table
+    made latest_rep read the still-empty doc_rep table — round-4
+    review finding #1). The retry must recompute the epoch without
+    double-counting its own already-committed docs/sigs rows."""
+    from engine.operators.dedup_incremental import _band_rows
+
+    e1, e2, _ = _corpus()
+    new = _mk(spark, e1)
+    io.append(spark, new, DOCS_TABLE, "job-e0", ts_col=None)
+    io.append(spark, _band_rows(new, 8, 4, 3), SIGS_TABLE, "job-e0", ts_col=None)
+    assert not io.is_committed(REP_TABLE, "job-e0")
+
+    s = ingest_dedup_increment(spark, io, new, "job-e0", threshold=THRESH)
+    assert s["status"] == "committed"
+    got = {r["doc_id"] for r in dedup_keep_list(spark, io).collect()}
+    assert got == _batch_keep(spark, e1)
+    # state stays consistent for later epochs
+    ingest_dedup_increment(spark, io, _mk(spark, e2), "job-e1", threshold=THRESH)
+    assert {r["doc_id"] for r in dedup_keep_list(spark, io).collect()} == (
+        _batch_keep(spark, e1 + e2)
+    )
+
+
+def test_band_rows_rejects_indivisible_params(spark):
+    """The incremental state builder shares the batch banding helper,
+    so invalid num_hashes/bands raise instead of silently truncating
+    trailing hashes (recall loss + batch-parity break)."""
+    from engine.operators.dedup_incremental import _band_rows
+
+    with pytest.raises(ValueError, match="divisible"):
+        _band_rows(_mk(spark, [(1, A)]), 10, 4, 3)
+
+
 def test_stream_dedup_ingest_parity_and_restart(spark, io, tmp_path):
     """The foreachBatch wrapper over a file stream
     (maxFilesPerTrigger=1 → one epoch per file): keep-list equals the

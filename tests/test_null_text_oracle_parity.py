@@ -9,7 +9,13 @@ import duckdb
 import pytest
 
 
-QUERIES = ["doc_langid", "dedup_simhash", "doc_regex_extract", "doc_quality"]
+QUERIES = [
+    "doc_langid", "dedup_simhash", "doc_regex_extract", "doc_quality",
+    # round-4 additions: NULL text must yield a NULL_PAYLOAD error row
+    # in multimodal (the codegen concat nulls the payload), all-zero
+    # repetition rows, and no contamination pairs — in BOTH checkers
+    "multimodal_meta", "doc_repetition", "doc_contamination",
+]
 
 
 @pytest.fixture(scope="module")

@@ -468,3 +468,49 @@ def test_incremental_skips_compactions(spark, transcripts_df, io):
     io.compact(spark, "turns", target_files=2)
     df2, hi2 = io.read_since(spark, "turns", hi1)
     assert df2 is None and hi2 > hi1  # watermark moves past the compaction
+
+
+def test_commit_manifest_concurrent_writers(io):
+    """commit_seq allocation + manifest commit are serialized under one
+    lock (round-4 review findings #2/#6): concurrent writers must get
+    unique, dense, monotonic seqs with commit order == seq order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def commit(i):
+        return io._commit_manifest(
+            "ctab", f"run-{i:03d}",
+            {"table": "ctab", "run_id": f"run-{i:03d}",
+             "files": [], "total_rows": 0, "n_files": 0},
+        )
+
+    with ThreadPoolExecutor(8) as ex:
+        ms = list(ex.map(commit, range(32)))
+    seqs = sorted(m["commit_seq"] for m in ms)
+    assert seqs == list(range(1, 33))
+    # and the committed manifests agree with what was returned
+    on_disk = sorted(
+        io.read_manifest("ctab", r)["commit_seq"]
+        for r in io.committed_runs("ctab")
+    )
+    assert on_disk == seqs
+
+
+def test_incremental_foreign_orphan_raises(spark, transcripts_df, context_df, io):
+    """An orphaned incremental errors snapshot from a DIFFERENT job_id
+    at the current watermark must abort the run loudly (re-running it
+    under a new job_id would double-commit that range's error rows)."""
+    import pytest as _pytest
+
+    from engine.pipeline import extract_features
+    from engine.runner import run_incremental
+
+    t_a, c_a, _, _ = _conv_split(transcripts_df, context_df)
+    io.append(spark, t_a, "turns", "ingest-a", ts_col="ts")
+    seq_a = io.max_commit_seq("turns")
+    _f, e, _m = extract_features(spark, t_a, c_a)
+    io.append(spark, e, "errors", f"otherjob-seq{1:06d}-{seq_a:06d}",
+              ts_col="ts",
+              extra_meta={"incremental_of": "turns",
+                          "source_seq_lo": 0, "source_seq_hi": seq_a})
+    with _pytest.raises(RuntimeError, match="different job"):
+        run_incremental(spark, io, "myjob", context=c_a)
