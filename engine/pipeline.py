@@ -237,3 +237,36 @@ def extract_features(
         "planned_at_epoch_s": t0,
     }
     return features, errors, meta
+
+
+def summarize_conversations(features: DataFrame) -> DataFrame:
+    """Conversation-level rollup of the per-turn feature table — the
+    SECOND aggregation level a training pipeline filters on before
+    assembling examples (drop too-short, single-session, or tool-less
+    conversations; stratify by activity). One hash aggregation over
+    the feature output's existing conv_id partitioning: map-side
+    partial combine, no extra sort, and when called on the pipeline's
+    direct output the exchange is reused from the window stage.
+
+    Columns: turn/session counts, wall-clock span, role mix, tool
+    usage, text-length stats, and the conversation's final dominant
+    tool (top_tools of the last turn by (ts, turn_idx) — the
+    expanding top-k's end state, via max_by)."""
+    last_key = F.struct(F.col("ts"), F.col("turn_idx"))
+    return features.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+        (F.max("session_id") + 1).cast("int").alias("n_sessions"),
+        (
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts")))
+            / 1000.0
+        ).alias("span_s"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+        .cast("int").alias("n_user_turns"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+        .cast("int").alias("n_assistant_turns"),
+        F.count_distinct("tool").cast("int").alias("tools_distinct"),
+        F.sum(F.coalesce("txt_len", F.lit(0))).alias("total_txt_len"),
+        F.round(F.avg("txt_len"), 6).alias("avg_txt_len"),
+        F.max("txt_len").alias("max_txt_len"),
+        F.max_by("top_tools", last_key).alias("final_top_tools"),
+    )

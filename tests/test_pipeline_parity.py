@@ -58,3 +58,32 @@ def test_kernel_asof_with_large_vocab_topk(spark, transcripts_df, context_df):
         if list(a["top_tools"][i]) != list(b["top_tools"][i])
     ]
     assert not bad, (len(bad), a.iloc[bad[:3]], b.iloc[bad[:3]])
+
+
+def test_summarize_conversations_pandas_parity(spark, transcripts_df, context_df):
+    """Conversation rollup vs a pandas groupby oracle over the same
+    feature rows: counts, span, role mix, text stats, and the final
+    dominant-tool state all agree per conversation."""
+    import numpy as np
+
+    from engine.pipeline import extract_features, summarize_conversations
+
+    feats, _e, _m = extract_features(spark, transcripts_df, context_df)
+    got = {r["conv_id"]: r for r in summarize_conversations(feats).collect()}
+    pdf = feats.toPandas()
+    assert set(got) == set(pdf["conv_id"].unique())
+    for conv, g in pdf.groupby("conv_id"):
+        r = got[conv]
+        assert r["n_turns"] == len(g)
+        assert r["n_sessions"] == int(g["session_id"].max()) + 1
+        span = (g["ts"].max() - g["ts"].min()).total_seconds()
+        assert abs(r["span_s"] - span) < 1e-3
+        assert r["n_user_turns"] == int((g["role"] == "user").sum())
+        assert r["n_assistant_turns"] == int((g["role"] == "assistant").sum())
+        assert r["tools_distinct"] == g["tool"].dropna().nunique()
+        assert r["total_txt_len"] == int(g["txt_len"].fillna(0).sum())
+        assert r["max_txt_len"] == int(g["txt_len"].max())
+        if g["txt_len"].notna().any():
+            assert abs(r["avg_txt_len"] - round(float(g["txt_len"].mean()), 6)) < 1e-6
+        last = g.sort_values(["ts", "turn_idx"]).iloc[-1]
+        assert list(r["final_top_tools"]) == list(last["top_tools"])
