@@ -227,3 +227,25 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         for name in ("b_views", "b_purch"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_contamination_plan_broadcasts_bench_side(spark):
+    """Decontamination joins the tiny benchmark gram set by broadcast —
+    never a shuffled or nested-loop join against the corpus grams."""
+    from engine.doc_queries import q_doc_contamination
+
+    plan = _formatted(spark, q_doc_contamination(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_auto_salted_topk_plan_shape(spark):
+    """The conditional-salt dispatch stays a two-stage hash aggregate:
+    no Python stages, no join of any kind in the aggregation path."""
+    from engine.queries import q_topk_auto_salted
+
+    plan = _formatted(spark, q_topk_auto_salted(spark, SF))
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
