@@ -190,3 +190,40 @@ def test_stream_dedup_ingest_parity_and_restart(spark, io, tmp_path):
     # the retroactive merge arrived via the stream too
     rep = {r["doc_id"]: r["rep_id"] for r in latest_rep(spark, io).collect()}
     assert rep[1] == rep[2] == rep[3] == 1
+
+
+def test_incremental_random_differential(spark, io, tmp_path):
+    """Randomized differential: random corpora over a tiny token
+    alphabet (dense near-dup structure: chains, merges, singletons),
+    random epoch splits — the incremental keep-list must equal the
+    batch operator's on every draw. Seeded loop rather than hypothesis:
+    each draw spins real TableIO state, so example count matters."""
+    import random
+
+    from engine.tableio import TableIO
+
+    alphabet = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+                "theta", "iota", "kappa"]
+    for trial in range(3):
+        rng = random.Random(1000 + trial)
+        rows = []
+        for doc_id in range(40):
+            n = rng.randint(3, 12)
+            # small alphabet + short docs → frequent shared shingles
+            rows.append(
+                (doc_id, " ".join(rng.choice(alphabet) for _ in range(n)))
+            )
+        n_epochs = rng.randint(2, 4)
+        assign = [rng.randrange(n_epochs) for _ in rows]
+        t_io = TableIO(str(tmp_path / f"wh{trial}"))
+        for ep in range(n_epochs):
+            batch = [r for r, a in zip(rows, assign) if a == ep]
+            if not batch:
+                continue
+            ingest_dedup_increment(
+                spark, t_io, _mk(spark, batch), f"t{trial}-e{ep}",
+                threshold=THRESH,
+            )
+        got = {r["doc_id"] for r in dedup_keep_list(spark, t_io).collect()}
+        exp = _batch_keep(spark, rows)
+        assert got == exp, (trial, sorted(got ^ exp))
