@@ -63,6 +63,18 @@ def main() -> None:
     ap.add_argument("--lineage-table", default="features",
                     help="table targeted by --lineage/--compact/"
                     "--expire-replaced (features|errors)")
+    ap.add_argument("--incremental", action="store_true",
+                    help="incremental mode: instead of batch-processing "
+                    "--input, read only the snapshots of the warehouse's "
+                    "source table (--source-table) committed since the "
+                    "last processed watermark and append features for "
+                    "just those rows (engine/runner.run_incremental; "
+                    "watermark recovered from the features manifests, "
+                    "crash replays idempotent). Pair with a streaming "
+                    "ingest writing that table (stream_validated_ingest) "
+                    "for a continuous ingest→features flow.")
+    ap.add_argument("--source-table", default="turns",
+                    help="warehouse table consumed by --incremental")
     ap.add_argument("--compact", action="store_true",
                     help="maintenance mode: rewrite the table's "
                     "committed snapshots into few files (small-files "
@@ -111,6 +123,22 @@ def main() -> None:
             lin = lin.filter(F.col("run_id") == args.lineage)
         for row in lin.orderBy("run_id", "file").collect():
             print(json.dumps(row.asDict()))
+        return
+
+    if args.incremental:
+        from engine.runner import run_incremental
+
+        io = TableIO(args.warehouse)
+        context = spark.read.parquet(args.context) if args.context else None
+        kwargs = {}
+        if args.vocab is not None:
+            kwargs["vocab"] = [t for t in args.vocab.split(",") if t]
+        summary = run_incremental(
+            spark, io, args.job_id, source_table=args.source_table,
+            context=context, **kwargs,
+        )
+        json.dump(summary, sys.stdout)
+        print()
         return
 
     if args.generate:

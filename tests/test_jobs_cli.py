@@ -77,3 +77,45 @@ def test_maintenance_cli(spark, tmp_path, capsys):
     out = _run_cli(["--warehouse", wh, "--job-id", "compact", "--lineage"], capsys)
     recs = [json.loads(line) for line in out.strip().splitlines()]
     assert recs and all(r["run_id"].startswith("compact-") for r in recs)
+
+
+def test_job_incremental_mode(spark, tmp_path, capsys, transcripts_df, context_df):
+    """--incremental consumes only newly committed source snapshots:
+    first invocation processes snapshot A, second reports no new
+    snapshots, third (after snapshot B lands) processes exactly B."""
+    from pyspark.sql import functions as F
+
+    from engine.tableio import TableIO
+
+    wh = str(tmp_path / "wh_inc")
+    io = TableIO(wh)
+    phase_a = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+    t_a, t_b = transcripts_df.filter(phase_a), transcripts_df.filter(~phase_a)
+    ctx = str(tmp_path / "ctx.parquet")
+    context_df.write.mode("overwrite").parquet(ctx)
+
+    io.append(spark, t_a, "turns", "ingest-a", ts_col="ts")
+    out = _run_cli(
+        ["--incremental", "--warehouse", wh, "--job-id", "inc",
+         "--context", ctx],
+        capsys,
+    )
+    s1 = json.loads(out.strip().splitlines()[-1])
+    assert s1["status"] == "committed" and s1["rows"] == t_a.count()
+
+    out = _run_cli(
+        ["--incremental", "--warehouse", wh, "--job-id", "inc",
+         "--context", ctx],
+        capsys,
+    )
+    assert json.loads(out.strip().splitlines()[-1])["status"] == "no_new_snapshots"
+
+    io.append(spark, t_b, "turns", "ingest-b", ts_col="ts")
+    out = _run_cli(
+        ["--incremental", "--warehouse", wh, "--job-id", "inc",
+         "--context", ctx],
+        capsys,
+    )
+    s3 = json.loads(out.strip().splitlines()[-1])
+    assert s3["status"] == "committed" and s3["rows"] == t_b.count()
+    assert io.read(spark, "features").count() == transcripts_df.count()
