@@ -596,6 +596,44 @@ WHERE cc.doc_id = cc.cluster_id
 """
 
 
+def q_dedup_incremental_keep(spark, sf_dir):
+    """Incremental dedup, DRIVER-CHECKED end-to-end: split the corpus
+    into two epochs by doc_id parity, ingest them through
+    `ingest_dedup_increment` into a fresh throwaway TableIO warehouse
+    (signatures persisted after epoch 1; epoch 2's candidates checked
+    against that committed state; affected clusters re-labeled), and
+    return the final keep-list. The oracle is the PURE-SQL batch
+    clustering (same MinHash/LSH params, threshold 0.2) reduced to its
+    min-id representatives — so the driver row verifies the
+    incremental engine's exact batch-parity claim on the real corpus,
+    not just on crafted unit fixtures. A fresh tmpdir per invocation
+    keeps replays of the query independent. (The epoch ingests run at
+    plan-BUILD time — the timed materialization is the keep-list
+    read.)"""
+    import tempfile
+
+    from engine.operators.dedup_incremental import (
+        dedup_keep_list,
+        ingest_dedup_increment,
+    )
+    from engine.tableio import TableIO
+
+    d = _heavy(spark, sf_dir, "documents").select("doc_id", "text")
+    io = TableIO(tempfile.mkdtemp(prefix="dedup_inc_gate_"))
+    for i, pred in enumerate((F.col("doc_id") % 2 == 0,
+                              F.col("doc_id") % 2 == 1)):
+        ingest_dedup_increment(
+            spark, io, d.filter(pred), f"gate-e{i}", threshold=0.2
+        )
+    return dedup_keep_list(spark, io)
+
+
+SQL_DEDUP_INCREMENTAL_KEEP = f"""
+WITH cc AS ({SQL_DEDUP_CLUSTERS})
+SELECT doc_id FROM cc WHERE doc_id = cluster_id
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     d = _heavy(spark, sf_dir, "documents")
     return DD.simhash16(d)
@@ -1214,6 +1252,7 @@ GROUP BY c.doc_id, b.doc_id
 QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_contamination": q_doc_contamination,
+    "dedup_incremental_keep": q_dedup_incremental_keep,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
@@ -1243,6 +1282,7 @@ QUERIES = {
 ORACLES = {
     "doc_repetition": SQL_DOC_REPETITION,
     "doc_contamination": SQL_DOC_CONTAMINATION,
+    "dedup_incremental_keep": SQL_DEDUP_INCREMENTAL_KEEP,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_langid": SQL_DOC_LANGID,
