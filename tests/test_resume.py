@@ -514,3 +514,51 @@ def test_incremental_foreign_orphan_raises(spark, transcripts_df, context_df, io
                           "source_seq_lo": 0, "source_seq_hi": seq_a})
     with _pytest.raises(RuntimeError, match="different job"):
         run_incremental(spark, io, "myjob", context=c_a)
+
+
+def test_streaming_ingest_feeds_incremental_features(
+    spark, transcripts_df, context_df, io, tmp_path
+):
+    """The continuous flow the jobs CLI advertises: a validated
+    streaming ingest commits turn snapshots per epoch
+    (stream_validated_ingest), then --incremental-style
+    run_incremental consumes exactly the newly committed snapshots and
+    appends features; a second stream delivery + increment picks up
+    only the new rows, and the final features equal one batch run."""
+    from engine.pipeline import extract_features
+    from engine.runner import run_incremental
+    from engine.streaming import stream_validated_ingest
+
+    t_a, c_a, t_b, c_b = _conv_split(transcripts_df, context_df)
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t_a.coalesce(1).write.parquet(str(src / "f1"))
+
+    def run_stream():
+        sdf = (
+            spark.readStream.schema(transcripts_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = stream_validated_ingest(
+            sdf, io, "ing", good_table="turns", ts_col="ts",
+            checkpoint_dir=ckpt,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+
+    run_stream()
+    s1 = run_incremental(spark, io, "feat", context=c_a)
+    assert s1["status"] == "committed" and s1["rows"] == t_a.count()
+
+    t_b.coalesce(1).write.parquet(str(src / "f2"))
+    run_stream()
+    s2 = run_incremental(spark, io, "feat", context=c_b)
+    assert s2["status"] == "committed" and s2["rows"] == t_b.count()
+
+    batch_f, _e, _m = extract_features(spark, transcripts_df, context_df)
+    cols = sorted(batch_f.columns)
+    got = sorted(map(tuple, io.read(spark, "features").select(cols).collect()),
+                 key=repr)
+    exp = sorted(map(tuple, batch_f.select(cols).collect()), key=repr)
+    assert got == exp
