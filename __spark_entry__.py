@@ -39,14 +39,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from engine.doc_queries import QUERIES as DOC_QUERIES
 
     # Ordering policy (round 4+): the driver's correctness window records
-    # the FIRST ~50 entries of this dict, but the gate has 60 queries, so
-    # 10 always fall off the end. We rotate so the keys that lacked a
-    # driver row in the previous round's CORRECTNESS_r{N}.json come FIRST
-    # (round 3's uncovered tail: variant_props + 9 others, below); the
-    # tail is always made of queries green in the immediately preceding
-    # round, so no query goes two consecutive rounds without a driver row.
+    # the FIRST ~50 entries of this dict, but the gate has 60+ queries,
+    # so some always fall off the end. We rotate so the keys that lacked
+    # a driver row in the previous round's CORRECTNESS_r{N}.json come
+    # FIRST (round 4's uncovered tail: value_histogram … embed_centroid,
+    # below), then queries NEW this round; the tail is always made of
+    # queries green in the immediately preceding round, so no query goes
+    # two consecutive rounds without a driver row.
     return {
-        # --- round-3 driver-uncovered block (must be inside the window) ---
+        # --- round-4 driver-uncovered block (must be inside the window) ---
+        "value_histogram": Q.q_value_histogram,
+        "session_funnel": Q.q_session_funnel,
+        "funnel_steps": Q.q_funnel_steps,
+        "range_join_sessions": Q.q_range_join_sessions,
+        "window_rank_stats": Q.q_window_rank_stats,
+        "pivot_event_counts": Q.q_pivot_event_counts,
+        "unpivot_lineitem": Q.q_unpivot_lineitem,
+        "set_ops_users": Q.q_set_ops_users,
+        "dedup_sessions": Q.q_dedup_sessions,
+        "semi_anti_customers": Q.q_semi_anti_customers,
+        "shipping_priority": Q.q_shipping_priority,
+        "region_revenue": Q.q_region_revenue,
+        "value_percentiles": Q.q_value_percentiles,
+        "embed_centroid": Q.q_embed_centroid,
+        # --- new in round 5 (also need a driver row; the doc/ann pair
+        # also live in DOC_QUERIES — first insertion position wins, so
+        # naming them here pins them inside the driver window) ---
+        "conv_rollup": Q.q_conv_rollup,
+        "doc_contamination13": DOC_QUERIES["doc_contamination13"],
+        "ann_ivf_incremental": DOC_QUERIES["ann_ivf_incremental"],
+        # --- rest: all green in CORRECTNESS_r04 ---
         "variant_props": Q.q_variant_props,
         "topk_event_types": Q.q_topk_event_types,
         "session_assembly": Q.q_session_assembly,
@@ -57,9 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_format": Q.q_hex_format,
         "luminance": Q.q_luminance,
         "quarantine": Q.q_quarantine,
-        # --- new in round 4 (also need a driver row) ---
         "topk_auto_salted": Q.q_topk_auto_salted,
-        # --- rest: all green in CORRECTNESS_r03 ---
         **DOC_QUERIES,
         "pricing_summary": Q.q_pricing_summary,
         "top_customers": Q.q_top_customers,
@@ -75,20 +95,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_strict": Q.q_asof_purchase_strict,
         "rollup_revenue": Q.q_rollup_revenue,
         "cube_revenue": Q.q_cube_revenue,
-        "value_histogram": Q.q_value_histogram,
-        "session_funnel": Q.q_session_funnel,
-        "funnel_steps": Q.q_funnel_steps,
-        "range_join_sessions": Q.q_range_join_sessions,
-        "window_rank_stats": Q.q_window_rank_stats,
-        "pivot_event_counts": Q.q_pivot_event_counts,
-        "unpivot_lineitem": Q.q_unpivot_lineitem,
-        "set_ops_users": Q.q_set_ops_users,
-        "dedup_sessions": Q.q_dedup_sessions,
-        "semi_anti_customers": Q.q_semi_anti_customers,
-        "shipping_priority": Q.q_shipping_priority,
-        "region_revenue": Q.q_region_revenue,
-        "value_percentiles": Q.q_value_percentiles,
-        "embed_centroid": Q.q_embed_centroid,
     }
 
 
@@ -96,7 +102,22 @@ def oracle_sql() -> dict[str, str]:
     from engine.doc_queries import ORACLES as DOC_ORACLES
 
     return {
-        # mirror queries() order: round-3 uncovered block first
+        # mirror queries() order: round-4 uncovered block first
+        "value_histogram": Q.SQL_VALUE_HISTOGRAM,
+        "session_funnel": Q.SQL_SESSION_FUNNEL,
+        "funnel_steps": Q.SQL_FUNNEL_STEPS,
+        "range_join_sessions": Q.SQL_RANGE_JOIN_SESSIONS,
+        "window_rank_stats": Q.SQL_WINDOW_RANK_STATS,
+        "pivot_event_counts": Q.SQL_PIVOT_EVENT_COUNTS,
+        "unpivot_lineitem": Q.SQL_UNPIVOT_LINEITEM,
+        "set_ops_users": Q.SQL_SET_OPS_USERS,
+        "dedup_sessions": Q.SQL_DEDUP_SESSIONS,
+        "semi_anti_customers": Q.SQL_SEMI_ANTI_CUSTOMERS,
+        "shipping_priority": Q.SQL_SHIPPING_PRIORITY,
+        "region_revenue": Q.SQL_REGION_REVENUE,
+        "value_percentiles": Q.SQL_VALUE_PERCENTILES,
+        "embed_centroid": Q.SQL_EMBED_CENTROID,
+        "conv_rollup": Q.SQL_CONV_ROLLUP,
         "variant_props": Q.SQL_VARIANT_PROPS,
         "topk_event_types": Q.SQL_TOPK_EVENT_TYPES,
         "session_assembly": Q.SQL_SESSION_ASSEMBLY,
@@ -120,18 +141,4 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_strict": Q.SQL_ASOF_PURCHASE_STRICT,
         "rollup_revenue": Q.SQL_ROLLUP_REVENUE,
         "cube_revenue": Q.SQL_CUBE_REVENUE,
-        "value_histogram": Q.SQL_VALUE_HISTOGRAM,
-        "session_funnel": Q.SQL_SESSION_FUNNEL,
-        "funnel_steps": Q.SQL_FUNNEL_STEPS,
-        "range_join_sessions": Q.SQL_RANGE_JOIN_SESSIONS,
-        "window_rank_stats": Q.SQL_WINDOW_RANK_STATS,
-        "pivot_event_counts": Q.SQL_PIVOT_EVENT_COUNTS,
-        "unpivot_lineitem": Q.SQL_UNPIVOT_LINEITEM,
-        "set_ops_users": Q.SQL_SET_OPS_USERS,
-        "dedup_sessions": Q.SQL_DEDUP_SESSIONS,
-        "semi_anti_customers": Q.SQL_SEMI_ANTI_CUSTOMERS,
-        "shipping_priority": Q.SQL_SHIPPING_PRIORITY,
-        "region_revenue": Q.SQL_REGION_REVENUE,
-        "value_percentiles": Q.SQL_VALUE_PERCENTILES,
-        "embed_centroid": Q.SQL_EMBED_CENTROID,
     }

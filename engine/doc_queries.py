@@ -606,10 +606,14 @@ def q_dedup_incremental_keep(spark, sf_dir):
     clustering (same MinHash/LSH params, threshold 0.2) reduced to its
     min-id representatives — so the driver row verifies the
     incremental engine's exact batch-parity claim on the real corpus,
-    not just on crafted unit fixtures. A fresh tmpdir per invocation
-    keeps replays of the query independent. (The epoch ingests run at
-    plan-BUILD time — the timed materialization is the keep-list
-    read.)"""
+    not just on crafted unit fixtures. One DETERMINISTIC scratch dir,
+    cleared on entry (round-4 advice #3: a fresh mkdtemp per invocation
+    leaked a full corpus copy into /tmp on every gate/bench rerun); it
+    cannot be removed on exit because the returned keep-list plan reads
+    from it lazily. (The epoch ingests run at plan-BUILD time — the
+    timed materialization is the keep-list read.)"""
+    import os
+    import shutil
     import tempfile
 
     from engine.operators.dedup_incremental import (
@@ -619,7 +623,9 @@ def q_dedup_incremental_keep(spark, sf_dir):
     from engine.tableio import TableIO
 
     d = _heavy(spark, sf_dir, "documents").select("doc_id", "text")
-    io = TableIO(tempfile.mkdtemp(prefix="dedup_inc_gate_"))
+    scratch = os.path.join(tempfile.gettempdir(), "dedup_inc_gate_scratch")
+    shutil.rmtree(scratch, ignore_errors=True)
+    io = TableIO(scratch)
     for i, pred in enumerate((F.col("doc_id") % 2 == 0,
                               F.col("doc_id") % 2 == 1)):
         ingest_dedup_increment(
@@ -827,6 +833,93 @@ WITH flat AS (
   FROM pairs
 )
 SELECT probe_id, vec_id, ROUND(cos, 6) AS cos, rank FROM r WHERE rank <= 3
+"""
+
+
+def q_ann_ivf_incremental(spark, sf_dir):
+    """Incremental IVF maintenance, DRIVER-CHECKED end-to-end
+    (engine/operators/ann_incremental.py): ingest the embeddings in
+    two epochs by vec_id parity into a throwaway warehouse — epoch 1
+    trains the quantizer (here the deterministic per-label-mean
+    stand-in over the epoch-1 slice, same convention as
+    q_ann_ivf_topk; components rounded to 6dp in both engines), epoch
+    2 is ASSIGNED against that committed snapshot (no retrain at the
+    default drift factor — parity split, same distribution) — and
+    return the final stored assignment. The oracle recomputes the same
+    centroids and argmin in pure SQL, so the driver row verifies the
+    committed state equals the batch assignment of the full corpus
+    against the committed snapshot. Deterministic scratch dir cleared
+    on entry (same hygiene as q_dedup_incremental_keep)."""
+    import os
+    import shutil
+    import tempfile
+
+    from engine.operators.ann_incremental import (
+        ingest_ann_increment,
+        latest_assignment,
+    )
+    from engine.tableio import TableIO
+
+    e = _t(spark, sf_dir, "embeddings")
+
+    def train_fn(_df):
+        # per-label means of the EPOCH-1 slice: deterministic and
+        # oracle-exact (the trainer is caller-pluggable by contract;
+        # the k-means path is differentially tested in
+        # tests/test_ann_incremental.py)
+        flat = (
+            e.filter(F.col("vec_id") % 2 == 0)
+            .select("label", F.posexplode("embedding").alias("pos", "v"))
+            .withColumn("v", F.col("v").cast("double"))
+        )
+        cmean = flat.groupBy("label", "pos").agg(
+            F.round(F.avg("v"), 6).alias("m")
+        )
+        return (
+            cmean.groupBy("label")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm")
+            )
+            .select(
+                F.col("label").alias("cell_id"),
+                F.transform("_pm", lambda x: x.m).alias("centroid"),
+            )
+        )
+
+    scratch = os.path.join(tempfile.gettempdir(), "ann_inc_gate_scratch")
+    shutil.rmtree(scratch, ignore_errors=True)
+    io = TableIO(scratch)
+    for i, pred in enumerate(
+        (F.col("vec_id") % 2 == 0, F.col("vec_id") % 2 == 1)
+    ):
+        ingest_ann_increment(
+            spark, io, e.filter(pred), f"gate-e{i}", train_fn=train_fn
+        )
+    return latest_assignment(spark, io).select(
+        "vec_id", "cell_id", F.round("d2", 6).alias("d2")
+    )
+
+
+SQL_ANN_IVF_INCREMENTAL = f"""
+WITH flat AS (
+  SELECT label, CAST(u.i AS INT) AS pos,
+         CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, 65)) AS u(i)
+  WHERE vec_id % 2 = 0
+), cmean AS (
+  SELECT label, pos, ROUND(AVG(v), 6) AS m FROM flat GROUP BY label, pos
+), cent AS (
+  SELECT label AS cell_id, list(m ORDER BY pos) AS centroid
+  FROM cmean GROUP BY label
+)
+SELECT vec_id, cell_id, ROUND(ROUND(d2, 9), 6) AS d2 FROM (
+  SELECT e.vec_id, c.cell_id,
+         {_D2_SQL.format(e='e', c='c')} AS d2,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_D2_SQL.format(e='e', c='c')} ASC,
+                                     c.cell_id ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+) WHERE rn = 1
 """
 
 
@@ -1192,12 +1285,22 @@ def q_doc_contamination(spark, sf_dir):
     Scale shape: grams are md5-hashed and the join carries only
     (hash, id) — text never shuffles; the benchmark side is tiny and
     broadcasts. 8 grams (not the common 13) because the synthetic
-    corpus has short docs; the operator is n-parametric."""
-    n = 8
+    corpus has short docs; the n=13 long-doc variant is
+    q_doc_contamination13 below — the operator is n-parametric."""
     d = _heavy(spark, sf_dir, "documents").select("doc_id", "text")
+    return _contamination_pairs(d, n=8, bench_mod=97, clone_offset=500000)
+
+
+def _contamination_pairs(
+    d, n: int, bench_mod: int, clone_offset: int
+):
+    """Parametric n-gram-collision core shared by both contamination
+    gate queries: plant clones of the benchmark slice
+    (doc_id % bench_mod == 0) at doc_id + clone_offset, hash word
+    n-grams, and join corpus→broadcast(benchmark) on (hash only)."""
     d = d.unionByName(
-        d.filter(F.col("doc_id") % 97 == 0).select(
-            (F.col("doc_id") + 500000).alias("doc_id"), "text"
+        d.filter(F.col("doc_id") % bench_mod == 0).select(
+            (F.col("doc_id") + clone_offset).alias("doc_id"), "text"
         )
     )
     toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
@@ -1211,15 +1314,50 @@ def q_doc_contamination(spark, sf_dir):
         .withColumn("_grams", grams)
         .select("doc_id", F.explode("_grams").alias("gram_h"))
     )
-    bench = hashed.filter(F.col("doc_id") % 97 == 0).select(
+    bench = hashed.filter(F.col("doc_id") % bench_mod == 0).select(
         F.col("doc_id").alias("bench_id"), "gram_h"
     )
-    corpus = hashed.filter(F.col("doc_id") % 97 != 0)
+    corpus = hashed.filter(F.col("doc_id") % bench_mod != 0)
     return (
         corpus.join(F.broadcast(bench), "gram_h")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).cast("int").alias("n_shared_ngrams"))
     )
+
+
+def q_doc_contamination13(spark, sf_dir):
+    """The industry-standard n=13 decontamination pass (GPT-3/PaLM
+    convention), oracle-checked on a LONG-doc fixture: the synthetic
+    corpus docs are too short for 13-grams, so the fixture
+    deterministically concatenates them into 50 long documents
+    (bucket doc_id % 50, texts joined in doc_id order — same rows,
+    same bytes, in both engines), then runs the identical
+    hashed-gram broadcast-join core as q_doc_contamination with n=13
+    (benchmark slice bucket % 7 == 0, clones at +1000). Proves the
+    claimed n-parametricity of the operator, not just n=8."""
+    d = _heavy(spark, sf_dir, "documents").select("doc_id", "text")
+    longd = (
+        d.withColumn("_gid", F.col("doc_id") % 50)
+        .groupBy("_gid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("doc_id").alias("i"),
+                                F.coalesce("text", F.lit("")).alias("t"),
+                            )
+                        )
+                    ),
+                    lambda x: x["t"],
+                ),
+                " ",
+            ).alias("text")
+        )
+        .select(F.col("_gid").alias("doc_id"), "text")
+    )
+    return _contamination_pairs(longd, n=13, bench_mod=7, clone_offset=1000)
 
 
 SQL_DOC_CONTAMINATION = r"""
@@ -1249,9 +1387,41 @@ GROUP BY c.doc_id, b.doc_id
 """
 
 
+SQL_DOC_CONTAMINATION13 = r"""
+WITH longd AS (
+  SELECT doc_id % 50 AS doc_id,
+         string_agg(coalesce(text, ''), ' ' ORDER BY doc_id) AS text
+  FROM documents GROUP BY doc_id % 50
+), docs2 AS (
+  SELECT doc_id, text FROM longd
+  UNION ALL
+  SELECT doc_id + 1000 AS doc_id, text FROM longd WHERE doc_id % 7 = 0
+), t AS (
+  SELECT doc_id,
+         string_split_regex(trim(coalesce(text, '')), '\s+') AS toks,
+         trim(coalesce(text, '')) AS txt
+  FROM docs2
+), g AS (
+  SELECT doc_id, unnest(
+           CASE WHEN len(toks) >= 13 AND txt <> '' THEN
+             list_distinct(list_transform(range(1, len(toks) - 11),
+               i -> md5(array_to_string(
+                      toks[CAST(i AS INT):CAST(i AS INT)+12], ' '))))
+           ELSE [] END) AS gram_h
+  FROM t
+)
+SELECT c.doc_id, b.doc_id AS bench_id,
+       CAST(COUNT(*) AS INT) AS n_shared_ngrams
+FROM g c JOIN g b USING (gram_h)
+WHERE b.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
+GROUP BY c.doc_id, b.doc_id
+"""
+
+
 QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_contamination": q_doc_contamination,
+    "doc_contamination13": q_doc_contamination13,
     "dedup_incremental_keep": q_dedup_incremental_keep,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
@@ -1273,6 +1443,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_incremental": q_ann_ivf_incremental,
     "embed_label_stats": q_embed_label_stats,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_banded": q_dedup_embedding_banded,
@@ -1282,6 +1453,7 @@ QUERIES = {
 ORACLES = {
     "doc_repetition": SQL_DOC_REPETITION,
     "doc_contamination": SQL_DOC_CONTAMINATION,
+    "doc_contamination13": SQL_DOC_CONTAMINATION13,
     "dedup_incremental_keep": SQL_DEDUP_INCREMENTAL_KEEP,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,
@@ -1303,6 +1475,7 @@ ORACLES = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_ivf_incremental": SQL_ANN_IVF_INCREMENTAL,
     "embed_label_stats": SQL_EMBED_LABEL_STATS,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_embedding_banded": SQL_DEDUP_EMBEDDING_BANDED,

@@ -140,7 +140,12 @@ def ingest_dedup_increment(
     if io.committed_runs(REP_TABLE):
         rep_old = latest_rep(spark, io)
     else:
-        rep_old = spark.createDataFrame([], "doc_id long, rep_id long")
+        # doc_id type follows the caller's corpus (round-4 advice #4: a
+        # hardcoded `long` broke the first epoch of string-keyed corpora
+        # with a unionByName/join type mismatch); rep_id is always the
+        # same type as doc_id (it IS a doc_id — the cluster min).
+        id_t = new_docs.schema["doc_id"].dataType.simpleString()
+        rep_old = spark.createDataFrame([], f"doc_id {id_t}, rep_id {id_t}")
 
     # Candidates: new × (old ∪ new) via the band-bucket join — the only
     # full-state shuffle, carrying ids + hashes only. Normalized to

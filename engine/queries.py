@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from engine.operators import core
 from engine.operators.asof import asof_join
 from engine.operators.topk import top_tools_final  # noqa: F401 (re-export)
+from engine.schema import TOP_K_TOOLS
 
 SESSION_GAP_S = 1800
 ROLL_S = 300
@@ -1251,4 +1252,111 @@ SELECT label, CAST(i - 1 AS INT) AS pos,
        ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_v
 FROM embeddings, range(1, 5) r(i)
 GROUP BY label, i
+"""
+
+
+# ---------------------------------------------------------------------------
+# Conversation-level rollup — the SECOND aggregation level
+# (engine/pipeline.summarize_conversations; reference analog: the
+# per-image summary dict assembled after per-pixel extraction,
+# analyze.py:96-119)
+# ---------------------------------------------------------------------------
+
+def q_conv_rollup(spark, sf_dir):
+    """Gate query for `summarize_conversations`: build a transcript
+    view of the events table deterministically (conv_id=user_id,
+    turn_idx=row_number over (ts, event_id), role from event_id
+    parity, tool=event_type with 'error' mapped to NULL so the
+    null-filter path is exercised, txt_len=len(props)), run the
+    engine's real sessionize + vocab expanding-top-k operators to
+    produce a features-shaped frame, then roll it up. final_top_tools
+    is joined to a comma string for hash-stable driver compare."""
+    from pyspark.sql import Window
+
+    from engine.operators.topk import add_top_tools_vocab
+    from engine.pipeline import summarize_conversations
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        # parquet ts is NTZ; summarize uses unix_millis (needs TIMESTAMP).
+        # Session tz is pinned UTC in _t, so the cast is epoch-preserving.
+        F.col("ts").cast("timestamp").alias("ts"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("tool"),
+        F.length("props").cast("int").alias("txt_len"),
+    )
+    t = core.sessionize(t, "conv_id", "ts", "turn_idx", SESSION_GAP_S)
+    # explicit vocab (catalog stat — no discovery job); 'error' is NULL
+    t = add_top_tools_vocab(t, vocab=["click", "purchase", "signup", "view"])
+    out = summarize_conversations(t)
+    return out.select(
+        "conv_id",
+        "n_turns",
+        "n_sessions",
+        F.round("span_s", 6).alias("span_s"),
+        "n_user_turns",
+        "n_assistant_turns",
+        "tools_distinct",
+        "total_txt_len",
+        "avg_txt_len",
+        "max_txt_len",
+        F.array_join("final_top_tools", ",").alias("final_top_tools"),
+    )
+
+
+SQL_CONV_ROLLUP = f"""
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, event_id,
+         epoch_us(ts) / 1000000.0 AS sec,
+         CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS tool,
+         CAST(LENGTH(props) AS INT) AS txt_len
+  FROM events
+), g AS (
+  SELECT *, CASE WHEN sec - LAG(sec) OVER
+                   (PARTITION BY conv_id ORDER BY ts, event_id) IS NULL
+                   OR sec - LAG(sec) OVER
+                   (PARTITION BY conv_id ORDER BY ts, event_id) > {SESSION_GAP_S}
+                 THEN 1 ELSE 0 END AS brk
+  FROM t
+), agg AS (
+  SELECT conv_id,
+         CAST(COUNT(*) AS INT) AS n_turns,
+         CAST(SUM(brk) AS INT) AS n_sessions,
+         ROUND((epoch_ms(MAX(ts)) - epoch_ms(MIN(ts))) / 1000.0, 6) AS span_s,
+         CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS INT)
+           AS n_user_turns,
+         CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS INT)
+           AS n_assistant_turns,
+         CAST(COUNT(DISTINCT tool) AS INT) AS tools_distinct,
+         CAST(SUM(COALESCE(txt_len, 0)) AS BIGINT) AS total_txt_len,
+         ROUND(AVG(txt_len), 6) AS avg_txt_len,
+         MAX(txt_len) AS max_txt_len
+  FROM g GROUP BY conv_id
+), tc AS (
+  SELECT conv_id, tool, COUNT(*) AS c
+  FROM t WHERE tool IS NOT NULL GROUP BY conv_id, tool
+), r AS (
+  SELECT conv_id, tool,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY c DESC, tool ASC) AS rnk
+  FROM tc
+), top AS (
+  SELECT conv_id, list(tool ORDER BY rnk) AS lst
+  FROM r WHERE rnk <= {TOP_K_TOOLS} GROUP BY conv_id
+)
+SELECT agg.conv_id, n_turns, n_sessions, span_s, n_user_turns,
+       n_assistant_turns, tools_distinct, total_txt_len, avg_txt_len,
+       max_txt_len,
+       array_to_string(
+         CASE WHEN lst IS NULL OR len(lst) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE (lst || [lst[-1], lst[-1], lst[-1]])[1:{TOP_K_TOOLS}] END,
+         ',') AS final_top_tools
+FROM agg LEFT JOIN top ON agg.conv_id = top.conv_id
 """

@@ -60,12 +60,34 @@ def run_incremental(
     Scale shape: cost per invocation is O(new rows), not O(table) —
     the manifest listing is the only whole-table metadata touched; no
     data file of an already-processed snapshot is opened."""
-    done = [
-        io.read_manifest(features_table, r)
+    done = {
+        r: io.read_manifest(features_table, r)
         for r in io.committed_runs(features_table)
-    ]
+    }
+    # Mode guard (round-4 advice #1): the watermark is recovered ONLY
+    # from manifests tagged incremental_of==source_table. A features
+    # table already populated by batch run_resumable (or increments of
+    # a DIFFERENT source) would yield watermark 0 and silently re-read
+    # the entire source, double-committing rows the batch run already
+    # wrote. Refuse loudly — incremental and batch modes need dedicated
+    # features tables (same single-writer discipline as the orphan
+    # guard below).
+    foreign = sorted(
+        r for r, m in done.items()
+        if m.get("incremental_of") != source_table
+        and not m.get("replaces")  # compactions of our own increments are fine
+    )
+    if foreign:
+        raise RuntimeError(
+            f"features table {features_table!r} contains committed "
+            f"snapshots not produced by incremental runs over "
+            f"{source_table!r}: {foreign}; running --incremental here "
+            f"would restart from watermark 0 and double-commit rows "
+            f"already present. Use a dedicated features table per "
+            f"(mode, source) pair."
+        )
     watermark = max(
-        (m.get("source_seq_hi", 0) for m in done
+        (m.get("source_seq_hi", 0) for m in done.values()
          if m.get("incremental_of") == source_table),
         default=0,
     )

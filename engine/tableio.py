@@ -580,6 +580,25 @@ class TableIO:
         This is the Iceberg incremental-append-scan analog
         (snapshot-id-range read of append snapshots only)."""
         manifests = self._load_manifests(table)
+        # Round-4 advice #2: legacy (pre-stamping) manifests have no
+        # commit_seq, so their rows could NEVER satisfy
+        # commit_seq > since_seq — silently invisible to incremental
+        # consumers even from watermark 0, inconsistent with
+        # _commit_order, which deliberately orders them FIRST so full
+        # reads include them. Refuse instead of silently skipping rows.
+        legacy = sorted(
+            r for r, m in manifests.items() if "commit_seq" not in m
+        )
+        if legacy:
+            raise RuntimeError(
+                f"incremental read of table {table!r}: snapshots "
+                f"{legacy} predate commit_seq stamping and would be "
+                f"silently excluded from every increment. Bootstrap "
+                f"instead: take ONE full read() as the baseline, start "
+                f"incremental consumption at watermark "
+                f"max_commit_seq(table), and only use read_since for "
+                f"snapshots committed after that."
+            )
         new = [
             run_id
             for _key, run_id in self._commit_order(table, manifests)

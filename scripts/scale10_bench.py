@@ -70,7 +70,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(tpath):
+    # gate on BOTH fixture files (round-4 advice #5: a crash between the
+    # transcripts write and the context write left tpath present, so
+    # every rerun skipped generation and failed reading cpath)
+    if not (os.path.exists(tpath) and os.path.exists(cpath)):
         from engine.sources.transcript_source import TranscriptDataSource
 
         spark.dataSource.register(TranscriptDataSource)
