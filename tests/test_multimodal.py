@@ -239,3 +239,93 @@ def test_decode_mp4_gates():
     moov = (8 + len(trak)).to_bytes(4, "big") + b"moov" + trak
     with pytest.raises(ValueError, match="MP4_TRUNCATED"):
         _decode_mp4(ftyp + moov)
+
+
+# ---------------------------------------------------------------------------
+# Full-payload content features (round-4 verdict item #5)
+# ---------------------------------------------------------------------------
+
+def _wav_payload(samples, rate=8000, channels=1, bits=16):
+    import numpy as np
+
+    data = np.asarray(samples, dtype=np.int16).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_sample_stats_numpy_differential():
+    import numpy as np
+
+    from engine.multimodal import _wav_sample_stats
+
+    samples = [100, -200, 3000, 0, -32768, 42]
+    rms, peak, dec = _wav_sample_stats(_wav_payload(samples))
+    a = np.asarray(samples, dtype=np.float64)
+    assert dec == "pcm"
+    assert peak == 32768
+    assert abs(rms - float(np.sqrt(np.mean(a * a)))) < 1e-12
+
+
+def test_media_content_audio_real_others_typed(spark):
+    from engine.multimodal import (
+        MEDIA_CONTENT_SCHEMA,
+        _HAS_CV2,
+        _HAS_PIL,
+        extract_media_content,
+        synthesize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(6, "hello world"), (1, "xyz"), (2, "longer text value here")],
+        "doc_id long, text string",
+    )
+    out = extract_media_content(synthesize_media(docs))
+    assert out.schema == MEDIA_CONTENT_SCHEMA
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # header metadata columns still populated for every row
+    assert all(r["decode_ok"] for r in rows.values())
+    # audio: REAL full-payload decode in any environment — the
+    # synthesized data chunk carries genuine zero samples
+    a = rows[1]
+    assert a["content_ok"] and a["content_decoder"] == "pcm"
+    assert a["audio_rms"] == 0.0 and a["audio_peak"] == 0
+    # image: pixel stats need the cv2/PIL swap-in; without it the row
+    # degrades to a TYPED lib-missing error (never a fabricated stat)
+    img = rows[6]
+    if not (_HAS_PIL or _HAS_CV2):
+        assert not img["content_ok"]
+        assert img["content_error"] == "CONTENT_LIB_MISSING:image"
+        assert img["px_mean"] is None
+    # video: synthetic payloads are moov-only (no mdat) — content is
+    # an error row on every environment, typed by what failed
+    vid = rows[2]
+    assert not vid["content_ok"]
+    assert vid["content_error"] in (
+        "CONTENT_LIB_MISSING:video", "CONTENT_DECODE_FAILED"
+    )
+
+
+def test_image_pixel_stats_pil():  # pragma: no cover - cluster-side
+    """Cluster-side swap-in check (mirrors the Iceberg env-gate,
+    skipping in-sandbox where PIL is absent): with PIL installed, a
+    real 2x2 grayscale PNG round-trips exact pixel stats through
+    _image_pixel_stats."""
+    import io
+
+    import numpy as np
+
+    Image = pytest.importorskip("PIL.Image")
+
+    from engine.multimodal import _image_pixel_stats
+
+    a = np.array([[0, 255], [128, 64]], dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(a, mode="L").save(buf, format="PNG")
+    mean, std, dec = _image_pixel_stats(buf.getvalue())
+    assert dec == "pil"
+    assert abs(mean - a.astype(float).mean()) < 1e-12
+    assert abs(std - a.astype(float).std()) < 1e-12
