@@ -209,7 +209,35 @@ def run_bench(sf_dir: str, cpus: int, only: set[str] | None, n_turns: int) -> di
     # second granularity — snapshot probes read healthy around slow
     # runs — so best-of needs more draws to catch a calm burst
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    # Probe-gated launch (round-4 lesson, automated): 7 of 8 round-4
+    # scaling invocations failed under co-tenant bandwidth steal; the
+    # one launched right after a healthy probe passed. Before the timed
+    # reps, wait (bounded) for a healthy window instead of timing into
+    # a known-bad one: membw >= 8.5 GB/s and >= ~280 M iter/s at 32p
+    # (slightly relaxed vs the manual 9/300 gate so a near-healthy
+    # window is not burned waiting). SPARK_GRAFT_BENCH_GATE_S=0
+    # disables the wait; the last probe is published either way, so a
+    # record that timed out into a bad window stays self-diagnosing.
+    gate_s = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_S", "360"))
+
+    # The iter/s bar scales with the probe's thread count: quiet is
+    # ~300-330 M at 32p but only ~95-105 M at 8p, so a fixed 280 would
+    # deadlock sub-32-cpu runs at "never healthy".
+    need_miter = 280.0 * min(cpus, 32) / 32.0
+
+    def _healthy(p: dict) -> bool:
+        return (
+            p.get("membw_GBps", 0.0) >= 8.5
+            and p.get(f"Miter_s_{cpus}p", p.get("Miter_s_8p", 0.0)) >= need_miter
+        )
+
     probe_before = _cpu_probe(cpus)
+    gate_t0 = time.time()  # waiting time only — excludes the 1st probe
+    deadline = gate_t0 + gate_s
+    while not _healthy(probe_before) and time.time() < deadline:
+        time.sleep(8)
+        probe_before = _cpu_probe(cpus)
+    gate_waited = round(time.time() - gate_t0, 1)
     flag_s = float("inf")
     for _ in range(reps):
         features, errors, _meta = extract_features(spark, t, c, vocab=vocab)
@@ -265,6 +293,9 @@ def run_bench(sf_dir: str, cpus: int, only: set[str] | None, n_turns: int) -> di
         # code" (the round-2 false-regression lesson, BENCH.md)
         "cpu_probe_before": probe_before,
         "cpu_probe_after": probe_after,
+        # seconds spent in the probe gate before the flagship reps
+        # (0 = first probe was already healthy or gating disabled)
+        "gate_waited_s": gate_waited,
     }
     spark.stop()
     return result

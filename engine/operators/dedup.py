@@ -299,6 +299,7 @@ def connected_components_star(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 40,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -343,7 +344,9 @@ def connected_components_star(
         return (row["n"], row["h"])
 
     fp = _fingerprint(edges)
-    for _ in range(max_iter):
+    for _round in range(max_iter):
+        if stats is not None:  # rounds-to-fixpoint, for the scale probe
+            stats["rounds"] = _round + 1
         # large-star: group by u over the symmetric edge list
         sym = edges.select(
             F.col("lo").alias("u"), F.col("hi").alias("v")
