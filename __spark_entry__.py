@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_rollup": Q.q_conv_rollup,
         "doc_contamination13": DOC_QUERIES["doc_contamination13"],
         "ann_ivf_incremental": DOC_QUERIES["ann_ivf_incremental"],
+        "doc_pii_redact": DOC_QUERIES["doc_pii_redact"],
         # --- rest: all green in CORRECTNESS_r04 ---
         "variant_props": Q.q_variant_props,
         "topk_event_types": Q.q_topk_event_types,

@@ -240,6 +240,82 @@ FROM documents
 """
 
 
+def q_doc_pii_redact(spark, sf_dir):
+    """PII scrub — the standard pre-release redaction pass of a
+    training-data pipeline (emails / dashed phone numbers / IPv4,
+    Presidio-style regex recognizers): per-doc match counts plus the
+    redacted text with typed placeholders.
+
+    The synthetic corpus contains no natural PII, so (round-3
+    vacuity lesson) the query PLANTS it deterministically in BOTH
+    engines: docs with doc_id % 11 == 0 get an email appended,
+    % 13 == 0 a phone, % 17 == 0 an IP — all derived from doc_id
+    alone, byte-identical in Spark and the oracle, and overlapping
+    (e.g. doc_id % 143 == 0 carries email+phone) so multi-class
+    docs are covered.
+
+    Scale shape: a narrow JVM-side projection — no UDF, no shuffle,
+    no join; text is read once, counted, rewritten. At 100 TB this
+    is scan-bound, exactly what a scrub pass should be."""
+    d = _heavy(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" Contact u"), did.cast("string"),
+                     F.lit("@example.com today.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(F.lit(" Call 555-201-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0"),
+                     F.lit(" now.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 17 == 0,
+            F.concat(F.lit(" Seen at 10."), (did % 256).cast("string"),
+                     F.lit("."), (did % 199).cast("string"),
+                     F.lit(".9 last.")),
+        ).otherwise(F.lit("")),
+    )
+    d = d.withColumn("_pt", planted)
+    counts = [
+        c.alias(f"n_{kind}") for kind, c in D.pii_counts(F.col("_pt"))
+    ]
+    return d.select(
+        "doc_id", *counts, D.pii_redact(F.col("_pt")).alias("redacted")
+    )
+
+
+SQL_DOC_PII_REDACT = r"""
+WITH p AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' Contact u' || CAST(doc_id AS VARCHAR) || '@example.com today.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' Call 555-201-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' Seen at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 199 AS VARCHAR) || '.9 last.'
+                 ELSE '' END AS pt
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(pt, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+       len(regexp_extract_all(pt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+FROM p
+"""
+
+
 def q_doc_tfidf_topk(spark, sf_dir):
     """Per-document top-3 TF-IDF keywords (keyword extraction — the
     corpus-statistics sibling of the per-doc token counts).
@@ -1428,6 +1504,7 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_regex_extract": q_doc_regex_extract,
+    "doc_pii_redact": q_doc_pii_redact,
     "doc_tfidf_topk": q_doc_tfidf_topk,
     "doc_enrich_join": q_doc_enrich_join,
     "doc_split_assign": q_doc_split_assign,
@@ -1460,6 +1537,7 @@ ORACLES = {
     "doc_langid": SQL_DOC_LANGID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_regex_extract": SQL_DOC_REGEX_EXTRACT,
+    "doc_pii_redact": SQL_DOC_PII_REDACT,
     "doc_tfidf_topk": SQL_DOC_TFIDF_TOPK,
     "doc_enrich_join": SQL_DOC_ENRICH_JOIN,
     "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,

@@ -149,3 +149,33 @@ def langid_predict(text: Column) -> Column:
     for lang, s in reversed(scores):
         pred = F.when(s == best_score, F.lit(lang)).otherwise(pred)
     return F.when(best_score > 0, pred).otherwise(F.lit("und"))
+
+
+# PII patterns for the redaction pass (doc_pii_redact). Deliberately
+# lookaround-free so one pattern string has identical semantics in
+# Java regex (Spark) and RE2 (DuckDB oracle). The real-pipeline
+# analog: Presidio/scrubadub-style regex recognizers; the Spark-side
+# cost model is the point here — counting + redaction is a narrow
+# JVM-side projection (no UDF, no shuffle, text read once per doc).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_counts(text: Column) -> list[tuple[str, Column]]:
+    """(kind, match-count) per PII class, counted BEFORE redaction."""
+    return [
+        (kind, F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))))
+        for kind, pat in (
+            ("emails", PII_EMAIL), ("phones", PII_PHONE), ("ips", PII_IPV4),
+        )
+    ]
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII span with a typed placeholder. Email first:
+    its pattern can contain digit runs that the looser phone/IP
+    patterns would otherwise see after partial rewrites."""
+    out = F.regexp_replace(text, PII_EMAIL, "[EMAIL]")
+    out = F.regexp_replace(out, PII_PHONE, "[PHONE]")
+    return F.regexp_replace(out, PII_IPV4, "[IP]")

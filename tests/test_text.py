@@ -88,3 +88,41 @@ def test_quality_score_null_text_scores_like_empty(spark):
     }
     assert got[0] == got[1] == 0.3
     assert got[2] > 0.3
+
+
+def test_pii_redact_counts_and_scrub(spark):
+    """PII pass: counts match the planted spans and redaction leaves
+    no residual matches (counting the redacted text yields zeros)."""
+    from engine.functions.docs import pii_counts, pii_redact
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "mail bob.smith+x@sub.example.org and boss@corp.io today"),
+        (1, "call 555-867-5309 or 800-123-4567 x9"),
+        (2, "hosts 10.0.0.1 and 192.168.254.7 up"),
+        (3, "none here: a@b (no tld), 12-345-6789, 1.2.3"),
+        (4, None),
+        (5, "mixed a.b@c.de then 555-000-1111 at 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    sel = [c.alias(f"n_{k}") for k, c in pii_counts(t)]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.select("doc_id", *sel, pii_redact(t).alias("red")).collect()
+    }
+    assert (got[0]["n_emails"], got[0]["n_phones"], got[0]["n_ips"]) == (2, 0, 0)
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ips"]) == (0, 2, 0)
+    assert (got[2]["n_emails"], got[2]["n_phones"], got[2]["n_ips"]) == (0, 0, 2)
+    assert (got[3]["n_emails"], got[3]["n_phones"], got[3]["n_ips"]) == (0, 0, 0)
+    assert (got[5]["n_emails"], got[5]["n_phones"], got[5]["n_ips"]) == (1, 1, 1)
+    assert got[5]["red"] == "mixed [EMAIL] then [PHONE] at [IP]"
+    # idempotence/completeness: re-counting the redacted text finds nothing
+    red = df.select(pii_redact(t).alias("text"))
+    resid = red.select(
+        *[c.alias(f"n_{k}") for k, c in pii_counts(F.col("text"))]
+    ).agg(
+        F.sum("n_emails").alias("e"), F.sum("n_phones").alias("p"),
+        F.sum("n_ips").alias("i"),
+    ).first()
+    assert (resid["e"], resid["p"], resid["i"]) == (0, 0, 0)
