@@ -1401,16 +1401,113 @@ def _contamination_pairs(
     )
 
 
+def _contamination_pairs_chunked(
+    d, n: int, bench_mod: int, clone_offset: int, n_part: int,
+    chunk_tokens: int = 4096,
+):
+    """Scale-safe n-gram-collision core for LONG documents (round-6
+    optimization; guide §2.5 input skew + §2.4 duplicated subtrees).
+
+    The per-doc core (`_contamination_pairs`) collapses when the corpus
+    is a handful of huge docs: AQE coalesces the byte-tiny-but-CPU-heavy
+    gram stage onto ~2 tasks, and referencing the gram subplan twice
+    (bench + corpus sides) recomputes it. This variant:
+
+    - tags bench membership as a COLUMN so the gram subplan exists once
+      in the plan (no bench/corpus double-filter of `hashed`);
+    - splits each doc's token array into overlapping chunks of
+      `chunk_tokens` gram-start positions (overlap n-1 tokens, so the
+      chunk-local gram set is exactly the doc-global one, partitioned)
+      and hash-repartitions chunks over (doc_id, chunk_idx) — task work
+      is bounded by chunk size, not doc length, so a single 10-GB doc
+      cannot create a straggler;
+    - replaces the broadcast self-join (whose build side here is a
+      fixed fraction of the corpus, NOT a small eval suite) with one
+      hash aggregation by gram hash: per gram, the set of bench ids and
+      the set of corpus ids — collect_set also dedups chunk-duplicate
+      grams, reproducing the per-doc array_distinct semantics — then
+      explodes the per-gram pairs and counts. Only 32-char hashes and
+      ids ever shuffle; text never does.
+    """
+    base = d.select(
+        "doc_id", "text", (F.col("doc_id") % bench_mod == 0).alias("_is_bench")
+    )
+    d2 = base.unionByName(
+        base.filter(F.col("_is_bench")).select(
+            (F.col("doc_id") + clone_offset).alias("doc_id"),
+            "text",
+            F.lit(False).alias("_is_bench"),
+        )
+    )
+    C = int(chunk_tokens)
+    tokd = d2.select(
+        "doc_id",
+        "_is_bench",
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+").alias(
+            "_toks"
+        ),
+    )
+    # chunk c covers gram starts [c*C+1, (c+1)*C]; it needs tokens
+    # [c*C+1, (c+1)*C + n-1]; slice() truncates at the array end, so the
+    # last chunk carries exactly the remaining starts. Short/empty docs
+    # (size < n, including the [''] of whitespace-only text) emit none.
+    chunks = (
+        tokd.select(
+            "doc_id",
+            "_is_bench",
+            F.expr(
+                f"CASE WHEN size(_toks) >= {n} THEN "
+                f"transform(sequence(0, CAST(floor((size(_toks) - {n}) / {C}) AS INT)), "
+                f"c -> slice(_toks, c * {C} + 1, {C} + {n - 1})) "
+                f"ELSE array(array()) END"
+            ).alias("_chunks"),
+        )
+        .select(
+            "doc_id", "_is_bench", F.posexplode("_chunks").alias("_ci", "_ctoks")
+        )
+        .filter(F.size("_ctoks") >= n)
+        .repartition(n_part, "doc_id", "_ci")
+    )
+    grams = chunks.select(
+        "doc_id",
+        "_is_bench",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_ctoks) - {n - 1}), "
+                f"i -> md5(concat_ws(' ', slice(_ctoks, i, {n}))))"
+            )
+        ).alias("gram_h"),
+    )
+    return (
+        grams.groupBy("gram_h")
+        .agg(
+            F.collect_set(F.when(F.col("_is_bench"), F.col("doc_id"))).alias("_b"),
+            F.collect_set(F.when(~F.col("_is_bench"), F.col("doc_id"))).alias("_c"),
+        )
+        .where((F.size("_b") > 0) & (F.size("_c") > 0))
+        .select(F.explode("_b").alias("bench_id"), "_c")
+        .select("bench_id", F.explode("_c").alias("doc_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_ngrams"))
+    )
+
+
 def q_doc_contamination13(spark, sf_dir):
     """The industry-standard n=13 decontamination pass (GPT-3/PaLM
     convention), oracle-checked on a LONG-doc fixture: the synthetic
     corpus docs are too short for 13-grams, so the fixture
     deterministically concatenates them into 50 long documents
     (bucket doc_id % 50, texts joined in doc_id order — same rows,
-    same bytes, in both engines), then runs the identical
-    hashed-gram broadcast-join core as q_doc_contamination with n=13
-    (benchmark slice bucket % 7 == 0, clones at +1000). Proves the
-    claimed n-parametricity of the operator, not just n=8."""
+    same bytes, in both engines), then runs the chunk-parallel
+    hashed-gram core with n=13 (benchmark slice bucket % 7 == 0,
+    clones at +1000). Proves the claimed n-parametricity of the
+    operator, not just n=8.
+
+    Round-6: uses _contamination_pairs_chunked — the 50-huge-doc shape
+    defeated AQE's byte-based coalescing (the gram stage ran on ~2
+    tasks, 202 s at sf0.1 in the round-5 driver bench); chunking the
+    token arrays restores full-width parallelism with identical
+    results."""
     d = _heavy(spark, sf_dir, "documents").select("doc_id", "text")
     longd = (
         d.withColumn("_gid", F.col("doc_id") % 50)
@@ -1433,7 +1530,10 @@ def q_doc_contamination13(spark, sf_dir):
         )
         .select(F.col("_gid").alias("doc_id"), "text")
     )
-    return _contamination_pairs(longd, n=13, bench_mod=7, clone_offset=1000)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return _contamination_pairs_chunked(
+        longd, n=13, bench_mod=7, clone_offset=1000, n_part=n_part
+    )
 
 
 SQL_DOC_CONTAMINATION = r"""

@@ -15,6 +15,9 @@ QUERIES = [
     # in multimodal (the codegen concat nulls the payload), all-zero
     # repetition rows, and no contamination pairs — in BOTH checkers
     "multimodal_meta", "doc_repetition", "doc_contamination",
+    # round-6: the chunked long-doc n=13 core must handle NULL/blank
+    # text identically (short/empty token arrays emit no chunks)
+    "doc_contamination13",
 ]
 
 

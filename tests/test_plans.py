@@ -249,3 +249,22 @@ def test_auto_salted_topk_plan_shape(spark):
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination13_gram_stage_parallelism(spark):
+    """Round-6 scale fix: the long-doc n=13 fixture must not collapse
+    onto 1-2 tasks. The chunked core hash-repartitions token chunks by
+    (doc_id, chunk_idx) into a FIXED width (REPARTITION_BY_NUM — AQE
+    may not coalesce it), computes the gram subplan exactly once (no
+    bench/corpus double-filter), and aggregates by gram hash with no
+    join of any kind."""
+    from engine.doc_queries import q_doc_contamination13
+
+    plan = _formatted(spark, q_doc_contamination13(spark, SF))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert re.search(
+        r"hashpartitioning\(doc_id#\d+L?, _ci#\d+, %d\)" % n_part, plan
+    ), "gram stage must be a fixed-width hash repartition over chunks"
+    for node in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, node
