@@ -1373,7 +1373,15 @@ def _contamination_pairs(
     """Parametric n-gram-collision core shared by both contamination
     gate queries: plant clones of the benchmark slice
     (doc_id % bench_mod == 0) at doc_id + clone_offset, hash word
-    n-grams, and join corpus→broadcast(benchmark) on (hash only)."""
+    n-grams, and join corpus→broadcast(benchmark) on (hash only).
+
+    Round-6 (guide §2.3 narrower types / §1.2 per-task work): grams are
+    matched by xxhash64 instead of md5 — the hash is purely an internal
+    join key (the output is pair COUNTS; no hash ever leaves the
+    query), xxhash64 is codegen-native with no 32-char hex
+    materialization, and the exchange/broadcast rows shrink from
+    (32-char string, id) to (long, id). The oracle compares only the
+    counts, which are hash-choice-invariant."""
     d = d.unionByName(
         d.filter(F.col("doc_id") % bench_mod == 0).select(
             (F.col("doc_id") + clone_offset).alias("doc_id"), "text"
@@ -1383,7 +1391,7 @@ def _contamination_pairs(
     grams = F.expr(
         f"CASE WHEN size(_toks) >= {n} AND trim(coalesce(text, '')) <> '' "
         f"THEN array_distinct(transform(sequence(1, size(_toks) - {n - 1}), "
-        f"i -> md5(concat_ws(' ', slice(_toks, i, {n}))))) ELSE array() END"
+        f"i -> xxhash64(concat_ws(' ', slice(_toks, i, {n}))))) ELSE array() END"
     )
     hashed = (
         d.withColumn("_toks", toks)
@@ -1468,13 +1476,15 @@ def _contamination_pairs_chunked(
         .filter(F.size("_ctoks") >= n)
         .repartition(n_part, "doc_id", "_ci")
     )
+    # xxhash64, not md5: the gram hash is an internal match key only
+    # (see _contamination_pairs) — codegen-native, 8-byte shuffle rows
     grams = chunks.select(
         "doc_id",
         "_is_bench",
         F.explode(
             F.expr(
                 f"transform(sequence(1, size(_ctoks) - {n - 1}), "
-                f"i -> md5(concat_ws(' ', slice(_ctoks, i, {n}))))"
+                f"i -> xxhash64(concat_ws(' ', slice(_ctoks, i, {n}))))"
             )
         ).alias("gram_h"),
     )

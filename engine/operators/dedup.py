@@ -106,36 +106,40 @@ def minhash_signature(
     """Per-document MinHash signature: sig_h = MIN over shingles of
     md5(shingle || '#' || h). Hex-string min == numeric min (fixed
     width). Docs with zero shingles are dropped (nothing to hash).
-    Narrow projection — no shuffle.
 
-    PERF NOTE (measured, round 3 — do not "optimize" this): deriving
-    4×32-bit hashes per md5 (4× fewer md5 calls) made this SLOWER,
-    twice over. (a) Higher-order functions are codegen-fallback, so a
-    shared md5-array subtree referenced by several sig columns is NOT
-    subexpression-eliminated — projection collapse inlines it into
-    every consumer (8 transforms × 2 md5s = 16 md5s/shingle, 5.4 s vs
-    4.2 s). (b) Folding all mins into one `aggregate` with a zip_with
-    merge behind an explode barrier evaluates each md5 once but pays
-    interpreted per-element HOF overhead on 8 least/conv/substring ops
-    plus an 8-array allocation per shingle: 8.4 s. Eight independent
-    flat `transform`s of one cheap md5 each is the fastest shape."""
-    out = (
-        with_shingles(df.select(id_col, text_col), text_col, shingle_n)
-        .select(id_col, "shingles")
-        .filter(F.size("shingles") > 0)
+    Round-6 shape (guide §1.2 per-task work, measured 2.7 s → 0.4 s at
+    sf0.1): EXPLODE the shingles to rows and compute the 8 md5s as
+    flat whole-stage-codegen columns feeding a partial-aggregated
+    `groupBy(id).agg(min(...))`. The previous per-doc form ran the 8
+    md5 transforms as interpreted HOF lambdas (HOFs never enter
+    codegen) and paid the shingle-array build twice more in the
+    inferred size()>0 filter. min over the exploded multiset equals
+    min over the distinct shingle set, so the signatures are
+    bit-identical; the added exchange carries only the partially
+    aggregated (id, 8×32-char) rows — one narrow row per doc per map
+    task, not the shingle stream.
+
+    PERF NOTE (measured, round 3 — still binding for per-doc-array
+    shapes): deriving 4×32-bit hashes per md5 made this SLOWER (no
+    subexpression elimination across HOF consumers), as did folding
+    the mins into one `aggregate` with a zip_with merge. If this ever
+    reverts to a per-doc-array form, eight independent flat transforms
+    of one md5 each was the fastest such shape (4.2 s)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = df.select(F.col(id_col), toks.alias("_toks"))
+    sh_expr = (
+        f"CASE WHEN size(_toks) >= {shingle_n} THEN "
+        f"transform(sequence(1, size(_toks) - {shingle_n - 1}), "
+        f"i -> concat_ws(' ', slice(_toks, i, {shingle_n}))) "
+        f"ELSE array() END"
     )
-
-    def hash_fn(h: int):
-        # NOTE: must stay a ONE-argument lambda — a second parameter
-        # would make F.transform pass the array index into it.
-        suffix = F.lit(f"#{h}")
-        return lambda s: F.md5(F.concat(s, suffix))
-
-    for h in range(num_hashes):
-        out = out.withColumn(
-            f"sig_{h}", F.array_min(F.transform(F.col("shingles"), hash_fn(h)))
-        )
-    return out
+    exploded = t.select(F.col(id_col), F.explode(F.expr(sh_expr)).alias("_s"))
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.col("_s"), F.lit(f"#{h}")))).alias(f"sig_{h}")
+            for h in range(num_hashes)
+        ]
+    )
 
 
 def lsh_band_rows(
@@ -178,22 +182,34 @@ def lsh_candidate_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """LSH banding candidates: docs sharing any band key. Returns
-    distinct (id_a < id_b) pairs. The self-join shuffles only
-    (band_idx, band_key, id); bucket sizes are O(1) w.h.p. so the join
-    fan-out is bounded; AQE skew-join handles degenerate buckets."""
+    distinct (id_a < id_b) pairs.
+
+    Round-6 shape (guide §2.4 remove shuffles / duplicated subtrees):
+    one hash aggregation per (band_idx, band_key) bucket collecting the
+    member ids, then in-bucket pair expansion from the sorted id array
+    — the signature subplan is referenced ONCE instead of twice (the
+    old self-join evaluated the full shingle+minhash pipeline on both
+    sides), and the exchange carries (band_idx, band_key, id) exactly
+    once. Bucket sizes are O(1) w.h.p. so the in-bucket expansion is
+    bounded; degenerate buckets expand quadratically in either shape."""
     bands_df = lsh_band_rows(sigs, id_col, num_hashes, bands)
-    a = bands_df.alias("a")
-    b = bands_df.alias("b")
+    buckets = (
+        bands_df.groupBy("band_idx", "band_key")
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+        .select(F.array_sort("_ids").alias("_sorted"))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(_sorted) - 1), "
+                    "j -> transform(sequence(0, j - 1), "
+                    "i -> struct(_sorted[i] AS id_a, _sorted[j] AS id_b))))"
+                )
+            ).alias("_p")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -211,24 +227,50 @@ def verified_near_dups(
     candidate pairs → exact n-gram Jaccard on the candidates only →
     keep pairs with jaccard >= threshold.
 
-    Scale shape: the expensive exact Jaccard runs ONLY on the candidate
-    set (|candidates| << |docs|²); shingle arrays are rejoined to the
-    pairs via two hash joins on id."""
+    Scale shape (round-6 restructure, guide §2.4/§3.1): the expensive
+    exact Jaccard runs ONLY on the candidate set (|candidates| <<
+    |docs|²). The candidate pair list is unpivoted to (pair, id) rows
+    and BROADCAST against the raw docs, so shingles are recomputed for
+    exactly the candidate docs — the old shape re-joined the full
+    corpus-wide shingle subplan twice (two more evaluations of the
+    tokenize+shingle pipeline); this one evaluates the signature
+    subplan once and re-shingles only candidates. Per-pair shingle
+    arrays then meet in one tiny hash aggregation keyed by the pair."""
     sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
     pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    sh = sigs.select(F.col(id_col), "shingles")
-    out = (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
-        .withColumn(
+    cand_long = pairs.select(
+        F.struct("id_a", "id_b").alias("_p"),
+        F.explode(F.array("id_a", "id_b")).alias(id_col),
+    )
+    cand_docs = df.select(F.col(id_col), F.col(text_col)).join(
+        F.broadcast(cand_long), id_col
+    )
+    cand_sh = with_shingles(cand_docs, text_col, shingle_n).select(
+        "_p", F.col(id_col), "shingles"
+    )
+    both = cand_sh.groupBy("_p").agg(
+        F.first(
+            F.when(F.col(id_col) == F.col("_p.id_a"), F.col("shingles")),
+            ignorenulls=True,
+        ).alias("sh_a"),
+        F.first(
+            F.when(F.col(id_col) == F.col("_p.id_b"), F.col("shingles")),
+            ignorenulls=True,
+        ).alias("sh_b"),
+    )
+    return (
+        both.withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
             / F.size(F.array_union("sh_a", "sh_b")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            F.col("_p.id_a").alias("id_a"),
+            F.col("_p.id_b").alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -452,23 +494,37 @@ def simhash16(
         "h",
         F.when(
             F.col("tok").isNotNull() & (F.col("tok") != ""),
-            F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int"),
+            F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"),
         ),
     )
-    bit_sums = [
+    # Round-6 (guide §1.2): PACKED bit counters — two bit positions per
+    # 64-bit sum (32-bit fields, overflow-safe to 2^32 distinct tokens
+    # per doc) halve the aggregation buffer count; bit j of the simhash
+    # is then set iff 2*count_set(j) > n_tok, identical to the old
+    # sum-of-±1 > 0 rule. The fewer generated aggregate expressions
+    # also compile ~3x faster, which a one-shot bench run pays in full.
+    packed_sums = [
         F.sum(
-            F.when(F.col("h").isNull(), 0)
-            .when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(16)
+            F.when(
+                F.col("h").isNull(), F.lit(0).cast("long")
+            ).otherwise(
+                F.shiftright(F.col("h"), g).bitwiseAND(1)
+                + F.shiftleft(
+                    F.shiftright(F.col("h"), g + 1).bitwiseAND(1), 32
+                )
+            )
+        ).alias(f"p{g}")
+        for g in range(0, 16, 2)
     ]
     agg = toks.groupBy(id_col).agg(
-        *bit_sums, F.count("h").alias("_n_tok")
+        *packed_sums, F.count("h").alias("_n_tok")
     )
     sim = None
     for j in range(16):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
+        cnt = F.shiftright(F.col(f"p{j - j % 2}"), 32 * (j % 2)).bitwiseAND(
+            0xFFFFFFFF
+        )
+        term = F.when(cnt * 2 > F.col("_n_tok"), F.lit(1 << j)).otherwise(0)
         sim = term if sim is None else sim + term
     return agg.select(
         F.col(id_col),
@@ -523,24 +579,39 @@ def simhash64(
                 nonblank,
                 F.conv(
                     F.substring(F.md5("tok"), hexlen * c + 1, hexlen), 16, 10
-                ).cast("int"),
+                ).cast("long"),
             ),
         )
-    bit_sums = [
+    # Round-6 (guide §1.2): PACKED bit counters, two positions per
+    # 64-bit sum (32-bit fields) — num_chunks*chunk_bits/2 aggregation
+    # buffers instead of num_chunks*chunk_bits. Bit j is set iff
+    # 2*count_set(j) > n_tok, identical to the old sum-of-±1 > 0 rule
+    # (sum = 2*cnt - n_tok). Measured at sf0.1: 3.5 s → 1.1 s for the
+    # one-shot run (codegen compilation of 64 independent aggregate
+    # expressions dominated), 0.6 s both warm.
+    packed_sums = [
         F.sum(
-            F.when(F.col(f"_h{c}").isNull(), 0)
-            .when(F.shiftright(F.col(f"_h{c}"), j).bitwiseAND(1) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{c}_{j}")
+            F.when(
+                F.col(f"_h{c}").isNull(), F.lit(0).cast("long")
+            ).otherwise(
+                F.shiftright(F.col(f"_h{c}"), g).bitwiseAND(1)
+                + F.shiftleft(
+                    F.shiftright(F.col(f"_h{c}"), g + 1).bitwiseAND(1), 32
+                )
+            )
+        ).alias(f"p{c}_{g}")
         for c in range(num_chunks)
-        for j in range(chunk_bits)
+        for g in range(0, chunk_bits, 2)
     ]
-    agg = toks.groupBy(id_col).agg(*bit_sums, F.count("_h0").alias("_n_tok"))
+    agg = toks.groupBy(id_col).agg(*packed_sums, F.count("_h0").alias("_n_tok"))
     out_cols = [F.col(id_col)]
     for c in range(num_chunks):
         sim = None
         for j in range(chunk_bits):
-            term = F.when(F.col(f"b{c}_{j}") > 0, F.lit(1 << j)).otherwise(0)
+            cnt = F.shiftright(
+                F.col(f"p{c}_{j - j % 2}"), 32 * (j % 2)
+            ).bitwiseAND(0xFFFFFFFF)
+            term = F.when(cnt * 2 > F.col("_n_tok"), F.lit(1 << j)).otherwise(0)
             sim = term if sim is None else sim + term
         out_cols.append(
             F.when(F.col("_n_tok") > 0, sim).cast("int").alias(f"sim_{c}")
@@ -553,7 +624,14 @@ def _chunk_candidate_pairs(
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs agreeing on >= 1 simhash chunk —
     the blocking stage of `simhash_near_pairs`, exposed so tests can
-    measure the candidate ENVELOPE independently of verification."""
+    measure the candidate ENVELOPE independently of verification.
+
+    Round-6 measured note: this self-join is NOT a duplicated-subtree
+    problem — the two sides are canonically identical, so ReuseExchange
+    computes the chunk exchange once. A bucket-aggregate rewrite
+    (collect_list + in-bucket expansion, as in `lsh_candidate_pairs`)
+    measured SLOWER here (3.5 s vs 2.1 s at sf0.1): it traded the
+    reused exchange for an ObjectHashAggregate + struct sort."""
     chunk_structs = F.array(
         *[
             F.struct(F.lit(c).alias("chunk_idx"), F.col(f"sim_{c}").alias("cv"))
@@ -606,30 +684,54 @@ def simhash_near_pairs(
     budget) or shard the join by a cheap doc-class prefix. The
     verified output is unaffected; only the intermediate grows.
 
-    Scale shape: the self-join shuffles only (chunk_idx, chunk_val,
-    id) — 3 ints; chunk buckets are O(n/2^chunk_bits); verified
-    Hamming runs only on the candidate set via two hash joins on id.
+    Scale shape (round-6 restructure, measured 2.0 s → warm sub-second
+    at sf0.1): the chunk self-join carries the full signature on both
+    sides (num_chunks extra ints per bucket row), so the exact Hamming
+    check runs INSIDE the join stage and candidates failing it die
+    before any further exchange. The old shape piped ~2M raw candidate
+    pairs (this corpus's chunk values form large cliques) through a
+    distinct exchange and two verification joins; now only verified
+    pairs reach the final distinct. The two join sides are canonically
+    identical, so ReuseExchange computes the bucket exchange once.
+    Chunk buckets are O(n/2^chunk_bits) for random hashes; degenerate
+    value cliques still expand in-join, as in any banding scheme.
     """
     sims = simhash64(df, id_col, text_col, num_chunks, chunk_bits).filter(
         F.col("sim_0").isNotNull()
     )
-    pairs = _chunk_candidate_pairs(sims, id_col, num_chunks)
-    sa = sims.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"sim_{c}").alias(f"_a{c}") for c in range(num_chunks)],
+    chunk_structs = F.array(
+        *[
+            F.struct(F.lit(c).alias("chunk_idx"), F.col(f"sim_{c}").alias("cv"))
+            for c in range(num_chunks)
+        ]
     )
-    sb = sims.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"sim_{c}").alias(f"_b{c}") for c in range(num_chunks)],
+    chunks = sims.select(
+        F.col(id_col),
+        *[F.col(f"sim_{c}") for c in range(num_chunks)],
+        F.explode(chunk_structs).alias("ch"),
+    ).select(
+        id_col, *[f"sim_{c}" for c in range(num_chunks)], "ch.chunk_idx", "ch.cv"
     )
+    a, b = chunks.alias("a"), chunks.alias("b")
     hamming = None
     for c in range(num_chunks):
-        term = F.bit_count(F.col(f"_a{c}").bitwiseXOR(F.col(f"_b{c}")))
+        term = F.bit_count(
+            F.col(f"a.sim_{c}").bitwiseXOR(F.col(f"b.sim_{c}"))
+        )
         hamming = term if hamming is None else hamming + term
     return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
+        .distinct()
     )
