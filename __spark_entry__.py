@@ -42,12 +42,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST ~50 entries of this dict, but the gate has 60+ queries,
     # so some always fall off the end. We rotate so the keys that lacked
     # a driver row in the previous round's CORRECTNESS_r{N}.json come
-    # FIRST (round 4's uncovered tail: value_histogram … embed_centroid,
-    # below), then queries NEW this round; the tail is always made of
-    # queries green in the immediately preceding round, so no query goes
-    # two consecutive rounds without a driver row.
+    # FIRST (round 5's uncovered tail: the 18 keys below, all green in
+    # CORRECTNESS_r04), then the rest — every tail key was green in
+    # CORRECTNESS_r05, so no query goes two consecutive rounds without
+    # a driver row.
     return {
-        # --- round-4 driver-uncovered block (must be inside the window) ---
+        # --- round-5 driver-uncovered block (must be inside the window;
+        # the doc/ann entries also live in DOC_QUERIES — first insertion
+        # position wins) ---
+        "ann_ivf_topk": DOC_QUERIES["ann_ivf_topk"],
+        "ann_lsh_topk": DOC_QUERIES["ann_lsh_topk"],
+        "asof_purchase": Q.q_asof_purchase,
+        "asof_purchase_kernel": Q.q_asof_purchase_kernel,
+        "asof_purchase_strict": Q.q_asof_purchase_strict,
+        "cube_revenue": Q.q_cube_revenue,
+        "dedup_embedding": DOC_QUERIES["dedup_embedding"],
+        "dedup_embedding_banded": DOC_QUERIES["dedup_embedding_banded"],
+        "embed_label_stats": DOC_QUERIES["embed_label_stats"],
+        "ffill": Q.q_ffill,
+        "lag_lead": Q.q_lag_lead,
+        "multimodal_meta": DOC_QUERIES["multimodal_meta"],
+        "pricing_summary": Q.q_pricing_summary,
+        "rolling": Q.q_rolling,
+        # rows-only driver check (sketch values are engine-specific, so
+        # no oracle_sql entry; tolerance pinned in tests/test_topk.py)
+        "rolling_approx": Q.q_rolling_approx,
+        "rollup_revenue": Q.q_rollup_revenue,
+        "sessionize": Q.q_sessionize,
+        "top_customers": Q.q_top_customers,
+        # --- rest: all green in CORRECTNESS_r05 ---
         "value_histogram": Q.q_value_histogram,
         "session_funnel": Q.q_session_funnel,
         "funnel_steps": Q.q_funnel_steps,
@@ -62,14 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": Q.q_region_revenue,
         "value_percentiles": Q.q_value_percentiles,
         "embed_centroid": Q.q_embed_centroid,
-        # --- new in round 5 (also need a driver row; the doc/ann pair
-        # also live in DOC_QUERIES — first insertion position wins, so
-        # naming them here pins them inside the driver window) ---
         "conv_rollup": Q.q_conv_rollup,
-        "doc_contamination13": DOC_QUERIES["doc_contamination13"],
-        "ann_ivf_incremental": DOC_QUERIES["ann_ivf_incremental"],
-        "doc_pii_redact": DOC_QUERIES["doc_pii_redact"],
-        # --- rest: all green in CORRECTNESS_r04 ---
         "variant_props": Q.q_variant_props,
         "topk_event_types": Q.q_topk_event_types,
         "session_assembly": Q.q_session_assembly,
@@ -82,20 +98,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine": Q.q_quarantine,
         "topk_auto_salted": Q.q_topk_auto_salted,
         **DOC_QUERIES,
-        "pricing_summary": Q.q_pricing_summary,
-        "top_customers": Q.q_top_customers,
-        "sessionize": Q.q_sessionize,
-        "lag_lead": Q.q_lag_lead,
-        "ffill": Q.q_ffill,
-        "rolling": Q.q_rolling,
-        # rows-only driver check (sketch values are engine-specific, so
-        # no oracle_sql entry; tolerance pinned in tests/test_topk.py)
-        "rolling_approx": Q.q_rolling_approx,
-        "asof_purchase": Q.q_asof_purchase,
-        "asof_purchase_kernel": Q.q_asof_purchase_kernel,
-        "asof_purchase_strict": Q.q_asof_purchase_strict,
-        "rollup_revenue": Q.q_rollup_revenue,
-        "cube_revenue": Q.q_cube_revenue,
     }
 
 
@@ -103,7 +105,18 @@ def oracle_sql() -> dict[str, str]:
     from engine.doc_queries import ORACLES as DOC_ORACLES
 
     return {
-        # mirror queries() order: round-4 uncovered block first
+        # mirror queries() order: round-5 uncovered block first
+        "asof_purchase": Q.SQL_ASOF_PURCHASE,
+        "asof_purchase_kernel": Q.SQL_ASOF_PURCHASE_KERNEL,
+        "asof_purchase_strict": Q.SQL_ASOF_PURCHASE_STRICT,
+        "cube_revenue": Q.SQL_CUBE_REVENUE,
+        "ffill": Q.SQL_FFILL,
+        "lag_lead": Q.SQL_LAG_LEAD,
+        "pricing_summary": Q.SQL_PRICING,
+        "rolling": Q.SQL_ROLLING,
+        "rollup_revenue": Q.SQL_ROLLUP_REVENUE,
+        "sessionize": Q.SQL_SESSIONIZE,
+        "top_customers": Q.SQL_TOP_CUSTOMERS,
         "value_histogram": Q.SQL_VALUE_HISTOGRAM,
         "session_funnel": Q.SQL_SESSION_FUNNEL,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
@@ -131,15 +144,4 @@ def oracle_sql() -> dict[str, str]:
         "quarantine": Q.SQL_QUARANTINE,
         "topk_auto_salted": Q.SQL_TOPK_AUTO_SALTED,
         **DOC_ORACLES,
-        "pricing_summary": Q.SQL_PRICING,
-        "top_customers": Q.SQL_TOP_CUSTOMERS,
-        "sessionize": Q.SQL_SESSIONIZE,
-        "lag_lead": Q.SQL_LAG_LEAD,
-        "ffill": Q.SQL_FFILL,
-        "rolling": Q.SQL_ROLLING,
-        "asof_purchase": Q.SQL_ASOF_PURCHASE,
-        "asof_purchase_kernel": Q.SQL_ASOF_PURCHASE_KERNEL,
-        "asof_purchase_strict": Q.SQL_ASOF_PURCHASE_STRICT,
-        "rollup_revenue": Q.SQL_ROLLUP_REVENUE,
-        "cube_revenue": Q.SQL_CUBE_REVENUE,
     }

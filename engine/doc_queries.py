@@ -1388,15 +1388,19 @@ def _contamination_pairs(
         )
     )
     toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
-    grams = F.expr(
-        f"CASE WHEN size(_toks) >= {n} AND trim(coalesce(text, '')) <> '' "
-        f"THEN array_distinct(transform(sequence(1, size(_toks) - {n - 1}), "
+    # size >= n alone covers the old blank-text guard: whitespace-only
+    # text splits to [''] (size 1 < n). Exploding the gram expression
+    # INLINE (not a named column) matters: exploding a named column
+    # plants the full gram expression a second time in the inferred
+    # size()>0 generator filter — measured 2.5 s vs 0.3 s at sf0.1 for
+    # the gram stage alone (round-6; guide §7.2 duplicated subtrees).
+    gram_expr = (
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(_toks) - {n - 1}), "
         f"i -> xxhash64(concat_ws(' ', slice(_toks, i, {n}))))) ELSE array() END"
     )
-    hashed = (
-        d.withColumn("_toks", toks)
-        .withColumn("_grams", grams)
-        .select("doc_id", F.explode("_grams").alias("gram_h"))
+    hashed = d.select("doc_id", toks.alias("_toks")).select(
+        "doc_id", F.explode(F.expr(gram_expr)).alias("gram_h")
     )
     bench = hashed.filter(F.col("doc_id") % bench_mod == 0).select(
         F.col("doc_id").alias("bench_id"), "gram_h"
