@@ -1463,19 +1463,21 @@ def _contamination_pairs_chunked(
     # [c*C+1, (c+1)*C + n-1]; slice() truncates at the array end, so the
     # last chunk carries exactly the remaining starts. Short/empty docs
     # (size < n, including the [''] of whitespace-only text) emit none.
+    # posexplode of the INLINE expression (a named column would plant
+    # the chunk-building expression a second time in the inferred
+    # non-empty generator filter — same pitfall as _contamination_pairs)
     chunks = (
         tokd.select(
             "doc_id",
             "_is_bench",
-            F.expr(
-                f"CASE WHEN size(_toks) >= {n} THEN "
-                f"transform(sequence(0, CAST(floor((size(_toks) - {n}) / {C}) AS INT)), "
-                f"c -> slice(_toks, c * {C} + 1, {C} + {n - 1})) "
-                f"ELSE array(array()) END"
-            ).alias("_chunks"),
-        )
-        .select(
-            "doc_id", "_is_bench", F.posexplode("_chunks").alias("_ci", "_ctoks")
+            F.posexplode(
+                F.expr(
+                    f"CASE WHEN size(_toks) >= {n} THEN "
+                    f"transform(sequence(0, CAST(floor((size(_toks) - {n}) / {C}) AS INT)), "
+                    f"c -> slice(_toks, c * {C} + 1, {C} + {n - 1})) "
+                    f"ELSE array(array()) END"
+                )
+            ).alias("_ci", "_ctoks"),
         )
         .filter(F.size("_ctoks") >= n)
         .repartition(n_part, "doc_id", "_ci")

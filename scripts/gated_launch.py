@@ -35,14 +35,25 @@ def main() -> None:
     ap.add_argument("--spin", type=float, default=280.0)
     ap.add_argument("--max-wait", type=int, default=3600)
     ap.add_argument("--sleep", type=int, default=45)
-    ap.add_argument("--require-healthy", action="store_true",
+    ap.add_argument("--require-healthy", dest="require_healthy",
+                    action="store_true", default=True,
                     help="exit 3 at deadline instead of launching into "
-                         "a contended window (no wasted samples)")
+                         "a contended window (the DEFAULT since round 6: "
+                         "policy-violating records can't be produced "
+                         "silently — round-5 advice #3)")
+    ap.add_argument("--launch-anyway", dest="require_healthy",
+                    action="store_false",
+                    help="explicit escape hatch: launch at deadline even "
+                         "into a contended window (probe still published)")
     args = ap.parse_args(own)
     if not cmd:
         sys.exit("no command after --")
 
-    sys.path.insert(0, "/root/repo")
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     from bench import _cpu_probe
 
     t0 = time.time()

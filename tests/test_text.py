@@ -115,6 +115,10 @@ def test_pii_redact_counts_and_scrub(spark):
     assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ips"]) == (0, 2, 0)
     assert (got[2]["n_emails"], got[2]["n_phones"], got[2]["n_ips"]) == (0, 0, 2)
     assert (got[3]["n_emails"], got[3]["n_phones"], got[3]["n_ips"]) == (0, 0, 0)
+    # NULL text: counts coalesce to 0 and redaction to '' (round-5
+    # advice #4 — the null-handling path was created but unasserted)
+    assert (got[4]["n_emails"], got[4]["n_phones"], got[4]["n_ips"]) == (0, 0, 0)
+    assert got[4]["red"] == ""
     assert (got[5]["n_emails"], got[5]["n_phones"], got[5]["n_ips"]) == (1, 1, 1)
     assert got[5]["red"] == "mixed [EMAIL] then [PHONE] at [IP]"
     # idempotence/completeness: re-counting the redacted text finds nothing
